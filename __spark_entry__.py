@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship KG slice on sf0.001.
+`queries()` — one entry per implemented operator (SURVEY.md §2 ids in each
+docstring); callables take (spark, sf_dir) and return a DataFrame.
+`oracle_sql()` — DuckDB-equivalent SQL.  KG-pipeline queries (detection,
+anonymize, triples, canonicalization) are validated against the plain-Python
+reference oracle's golden parquet (materialized deterministically on first
+use under data/synth/<sf>/ — the oracle shares its semantics modules with
+the engine, SURVEY.md §5.2); relational operators use live SQL on the
+driver-provided TPC-H-ish views.
 """
 
 from __future__ import annotations
@@ -12,27 +16,325 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from uk_ner_presidio_demo_spark.data.synth import ensure_transcripts
+from uk_ner_presidio_demo_spark.oracle.reference_oracle import ensure_golden
+from uk_ner_presidio_demo_spark.operators.detect import (
+    anonymized_turns, detect_turns, mentions_from_turns,
+)
+from uk_ner_presidio_demo_spark.sources.tables import read_tpch, read_transcripts
+
+SF001 = "/root/testdata/sf0.01"  # the driver's correctness sf
+
+
+def _golden(name: str, sf_dir: str = SF001) -> str:
+    """Absolute path of a golden parquet for DuckDB's read_parquet."""
+    return str(ensure_golden(sf_dir) / f"{name}.parquet")
+
+
+def _transcripts_glob(sf_dir: str = SF001) -> str:
+    return str(ensure_transcripts(sf_dir)) + "/*.parquet"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: detect mentions over the sf0.001 transcripts and rank
+    entity surfaces (SURVEY.md §7 Phase 1 query)."""
+    tr = read_transcripts(spark, "/root/testdata/sf0.001")
+    mentions = mentions_from_turns(detect_turns(tr))
+    return (
+        mentions.groupBy("entity_type", "norm_surface")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy(F.desc("n_mentions"), "entity_type", "norm_surface")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# KG-pipeline queries (golden-parquet oracles)
+# --------------------------------------------------------------------------
+
+def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-5..O-8, F-3, F-4, U-1, W-1/W-2 fused detection -> mentions table."""
+    tr = read_transcripts(spark, sf_dir)
+    m = mentions_from_turns(detect_turns(tr))
+    return m.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
+def _q_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-1 anonymization splice (per-turn text rewrite)."""
+    tr = read_transcripts(spark, sf_dir)
+    a = anonymized_turns(detect_turns(tr))
+    return a.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
+def _q_entity_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-1/A-3/A-4 aggregates over the mentions IR."""
+    m = _q_mentions(spark, sf_dir)
+    return (
+        m.groupBy("entity_type")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.countDistinct("norm_surface").alias("n_surfaces"),
+        )
+    )
+
+
+def _q_top_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-6 top-k over A-1 counts (hot-entity diagnostic)."""
+    m = _q_mentions(spark, sf_dir)
+    return (
+        m.groupBy("entity_type", "norm_surface")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy(F.desc("n_mentions"), "entity_type", "norm_surface")
+        .limit(50)
+    )
+
+
+def _q_valid_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-5 validity filter + A-2/A-5/A-6 conditional aggregates, per role."""
+    from uk_ner_presidio_demo_spark.sources.tables import valid_text_predicate
+
+    tr = read_transcripts(spark, sf_dir)
+    return (
+        tr.groupBy("role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(valid_text_predicate(), 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(valid_text_predicate(), F.length("text")).otherwise(0))
+            .alias("valid_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational operators on the driver's TPC-H-ish tables (live SQL oracles)
+# --------------------------------------------------------------------------
+
+def _q_tpch_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-5 filter + O-8 substring projection, pushdown-friendly."""
+    o = read_tpch(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 100000.0)
+        .select(
+            "o_orderkey",
+            F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+            (F.col("o_totalprice") * 0.9).alias("discounted"),
+        )
+    )
+
+
+def _q_tpch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-1..A-5: TPC-H Q1-shaped hash aggregate with partial aggregation."""
+    li = read_tpch(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-1 broadcast hash join: fact joins two broadcast dims."""
+    o = read_tpch(spark, sf_dir, "orders")
+    c = read_tpch(spark, sf_dir, "customer")
+    n = read_tpch(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def _q_tpch_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-6 left-semi: customers having >=1 high-priority order."""
+    o = read_tpch(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    c = read_tpch(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def _q_tpch_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-6 left-anti: customers with no orders at all."""
+    o = read_tpch(spark, sf_dir, "orders")
+    c = read_tpch(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+def _q_tpch_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-4/W-5 ranking window: latest 3 orders per customer."""
+    o = read_tpch(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_tpch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-1 bag union of two recognizer-family-shaped projections."""
+    o = read_tpch(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 250000.0).select(
+        "o_orderkey", F.lit("high").alias("bucket")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("bucket")
+    )
+    return hi.unionByName(urgent)
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-4 lag window over an event stream: inter-event gap per user."""
+    ev = read_tpch(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn(
+            "gap_sec",
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+        )
+        .select("event_id", "user_id", "gap_sec")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_mentions": _q_mentions,
+        "kg_anonymized": _q_anonymized,
+        "kg_entity_type_counts": _q_entity_type_counts,
+        "kg_top_surfaces": _q_top_surfaces,
+        "kg_valid_turn_stats": _q_valid_turn_stats,
+        "tpch_filter_project": _q_tpch_filter_project,
+        "tpch_agg": _q_tpch_agg,
+        "tpch_broadcast_join": _q_tpch_broadcast_join,
+        "tpch_semi_join": _q_tpch_semi_join,
+        "tpch_anti_join": _q_tpch_anti_join,
+        "tpch_window_topk": _q_tpch_window_topk,
+        "tpch_union": _q_tpch_union,
+        "events_sessions": _q_events_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    gm = _golden("golden_mentions")
+    ga = _golden("golden_anonymized")
+    tg = _transcripts_glob()
+    return {
+        "kg_mentions": f"""
+            SELECT conv_id, turn_idx, mention_idx, entity_type, start,
+                   "end", score, surface, norm_surface
+            FROM read_parquet('{gm}')
+        """,
+        "kg_anonymized": f"""
+            SELECT conv_id, turn_idx, anonymized_text
+            FROM read_parquet('{ga}')
+        """,
+        "kg_entity_type_counts": f"""
+            SELECT entity_type,
+                   count(*) AS n_mentions,
+                   round(avg(score), 6) AS avg_score,
+                   count(DISTINCT norm_surface) AS n_surfaces
+            FROM read_parquet('{gm}')
+            GROUP BY entity_type
+        """,
+        "kg_top_surfaces": f"""
+            SELECT entity_type, norm_surface, count(*) AS n_mentions
+            FROM read_parquet('{gm}')
+            GROUP BY entity_type, norm_surface
+            ORDER BY n_mentions DESC, entity_type, norm_surface
+            LIMIT 50
+        """,
+        "kg_valid_turn_stats": f"""
+            SELECT role,
+                   count(*) AS n_turns,
+                   sum(CASE WHEN text IS NOT NULL AND length(text) <= 100000
+                            AND regexp_matches(text, '\\S')
+                       THEN 1 ELSE 0 END) AS n_valid,
+                   sum(CASE WHEN text IS NOT NULL AND length(text) <= 100000
+                            AND regexp_matches(text, '\\S')
+                       THEN length(text) ELSE 0 END) AS valid_chars
+            FROM read_parquet('{tg}')
+            GROUP BY role
+        """,
+        "tpch_filter_project": """
+            SELECT o_orderkey,
+                   substring(o_orderpriority, 1, 1) AS prio_code,
+                   o_totalprice * 0.9 AS discounted
+            FROM orders WHERE o_totalprice > 100000.0
+        """,
+        "tpch_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_broadcast_join": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "tpch_semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "tpch_anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "tpch_window_topk": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "tpch_union": """
+            SELECT o_orderkey, 'high' AS bucket FROM orders
+            WHERE o_totalprice > 250000.0
+            UNION ALL
+            SELECT o_orderkey, 'urgent' AS bucket FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        """,
+        "events_sessions": """
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) -
+                   lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_sec
+            FROM events
+        """,
+    }

@@ -1,0 +1,90 @@
+"""Bench harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "turns_per_sec": ...}.
+
+Execution is forced with the noop sink (full computation, no driver
+collect). The KG queries run over the deterministic synthetic transcripts
+keyed to the sf dir; relational queries run over the driver's parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # Materialize synth input before timing.
+    from uk_ner_presidio_demo_spark.data.synth import (
+        SF_CONVS, ensure_transcripts, sf_key_for_dir,
+    )
+
+    ensure_transcripts(sf_dir)
+
+    from uk_ner_presidio_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cores)
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    headline = [
+        "kg_mentions",
+        "kg_anonymized",
+        "kg_entity_type_counts",
+        "kg_top_surfaces",
+        "tpch_agg",
+        "tpch_broadcast_join",
+        "tpch_window_topk",
+        "events_sessions",
+    ]
+    headline = [q for q in headline if q in qmap]
+
+    # Warm the python workers / JIT once on a cheap query.
+    force(qmap["tpch_agg"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in headline:
+        t0 = time.time()
+        force(qmap[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    # turns/sec over the full detection pass (the BASELINE throughput metric)
+    from uk_ner_presidio_demo_spark.sources.tables import read_transcripts
+
+    n_turns = read_transcripts(spark, sf_dir).count()
+    det_sec = timings.get("kg_mentions", None)
+    turns_per_sec = round(n_turns / det_sec, 1) if det_sec else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_key_for_dir(sf_dir),
+                "cores": cores,
+                "n_turns": n_turns,
+                "n_convs": SF_CONVS.get(sf_key_for_dir(sf_dir)),
+                "turns_per_sec_detection": turns_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
