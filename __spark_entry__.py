@@ -109,6 +109,52 @@ def _q_valid_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-4 turn-window relation heuristic + triple emission (§2.10) via
+    cogrouped applyInPandas."""
+    from uk_ner_presidio_demo_spark.operators.triples import emit_triples
+
+    tr = read_transcripts(spark, sf_dir)
+    m = mentions_from_turns(detect_turns(tr))
+    return emit_triples(tr, m)
+
+
+def _q_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-1 aggregate over the triples output, per predicate."""
+    from uk_ner_presidio_demo_spark.operators.triples import triple_counts
+
+    return triple_counts(_q_triples(spark, sf_dir))
+
+
+def _q_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-1 broadcast alias link + J-2 MinHash/LSH blocking + J-3 iterative
+    connected components -> stable canonical ids (F-9)."""
+    from uk_ner_presidio_demo_spark.operators.canonicalize import canonical_nodes
+    from uk_ner_presidio_demo_spark.operators.linking import link_entities
+    from uk_ner_presidio_demo_spark.sources.tables import read_aliases
+
+    tr = read_transcripts(spark, sf_dir)
+    m = mentions_from_turns(detect_turns(tr))
+    nodes, edges = link_entities(m, read_aliases(spark))
+    return canonical_nodes(nodes, edges)
+
+
+def _q_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-8 rewrite: triple entity refs -> canonical ids, deduped."""
+    from uk_ner_presidio_demo_spark.operators.canonicalize import (
+        canonical_nodes, canonical_triples,
+    )
+    from uk_ner_presidio_demo_spark.operators.linking import link_entities
+    from uk_ner_presidio_demo_spark.operators.triples import emit_triples
+    from uk_ner_presidio_demo_spark.sources.tables import read_aliases
+
+    tr = read_transcripts(spark, sf_dir)
+    m = mentions_from_turns(detect_turns(tr))
+    nodes, edges = link_entities(m, read_aliases(spark))
+    canon = canonical_nodes(nodes, edges)
+    return canonical_triples(emit_triples(tr, m), canon).distinct()
+
+
 # --------------------------------------------------------------------------
 # Relational operators on the driver's TPC-H-ish tables (live SQL oracles)
 # --------------------------------------------------------------------------
@@ -225,6 +271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_type_counts": _q_entity_type_counts,
         "kg_top_surfaces": _q_top_surfaces,
         "kg_valid_turn_stats": _q_valid_turn_stats,
+        "kg_triples": _q_triples,
+        "kg_triple_counts": _q_triple_counts,
+        "kg_canonical_nodes": _q_canonical_nodes,
+        "kg_canonical_triples": _q_canonical_triples,
         "tpch_filter_project": _q_tpch_filter_project,
         "tpch_agg": _q_tpch_agg,
         "tpch_broadcast_join": _q_tpch_broadcast_join,
@@ -239,8 +289,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     gm = _golden("golden_mentions")
     ga = _golden("golden_anonymized")
+    gt = _golden("golden_triples")
+    gn = _golden("golden_nodes")
+    gct = _golden("golden_canonical_triples")
     tg = _transcripts_glob()
     return {
+        "kg_triples": f"""
+            SELECT conv_id, turn_idx, subj, pred, obj
+            FROM read_parquet('{gt}')
+        """,
+        "kg_triple_counts": f"""
+            SELECT pred, count(*) AS n_triples
+            FROM read_parquet('{gt}') GROUP BY pred
+        """,
+        "kg_canonical_nodes": f"""
+            SELECT entity_type, norm_surface, canonical_norm, canonical_id
+            FROM read_parquet('{gn}')
+        """,
+        "kg_canonical_triples": f"""
+            SELECT conv_id, turn_idx, subj, pred, obj
+            FROM read_parquet('{gct}')
+        """,
         "kg_mentions": f"""
             SELECT conv_id, turn_idx, mention_idx, entity_type, start,
                    "end", score, surface, norm_surface

@@ -1,0 +1,115 @@
+"""Connected-components canonicalization (stage 7, J-3) [north-rule].
+
+Iterative min-label propagation over the similarity graph as pure DataFrame
+joins — no GraphX/GraphFrames dependency from Python (SURVEY.md §1.2).
+
+Determinism: node ids are "entity_type:norm_surface" strings; the component
+label converges to the lexicographic MIN id (UTF-8 byte order == code-point
+order, so Spark's binary string comparison agrees with the Python oracle's
+min()).  Canonical surface = norm part of the min id; canonical_id =
+sha2("entity_type:canonical_norm", 256) — stable across runs (F-9).
+
+Lineage control: every iteration ends in `localCheckpoint(eager=True)` to
+truncate the exponentially-growing join lineage (SURVEY.md §4.3; classic
+iterative-dataflow practice), and convergence is checked with a cheap
+aggregate on the changed-count.  Alias/LSH components are shallow (diameter
+~2-4), so the loop converges in a handful of iterations; `max_iter` bounds
+pathological chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _node_id(etype_col: str, surface_col: str):
+    return F.concat_ws(":", F.col(etype_col), F.col(surface_col))
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """nodes: (entity_type, norm_surface); edges: (entity_type, src, dst).
+    Returns (entity_type, norm_surface, label) with label = min node-id of
+    the component."""
+    n = nodes.select(
+        "entity_type", "norm_surface",
+        _node_id("entity_type", "norm_surface").alias("id"),
+    )
+    # Symmetric edge list on node ids (components never span entity types).
+    e = edges.select(
+        _node_id("entity_type", "src").alias("src"),
+        _node_id("entity_type", "dst").alias("dst"),
+    )
+    e_sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = n.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
+
+    for _ in range(max_iter):
+        # candidate labels flowing along edges
+        neighbor_labels = (
+            e_sym.join(labels, e_sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return (
+        n.join(labels, "id")
+        .select("entity_type", "norm_surface", "label")
+    )
+
+
+def canonical_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(entity_type, norm_surface, canonical_norm, canonical_id) — the
+    engine twin of the oracle's `canonicalize` golden_nodes table."""
+    cc = connected_components(nodes, edges)
+    canon = F.substring_index("label", ":", -1)
+    # label is "TYPE:surface"; surfaces can contain ':'? norm_surface never
+    # does (normalization strips punctuation), so substring_index is safe.
+    return cc.select(
+        "entity_type",
+        "norm_surface",
+        canon.alias("canonical_norm"),
+        F.sha2(
+            F.concat_ws(":", F.col("entity_type"), canon), 256
+        ).alias("canonical_id"),
+    )
+
+
+def canonical_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Rewrite triple subj/obj entity refs ("TYPE:norm") to canonical ids
+    (stage 8 input).  conv:/tool: refs pass through unchanged."""
+    ref_map = canon.select(
+        F.concat_ws(":", "entity_type", "norm_surface").alias("ref"),
+        "canonical_id",
+    ).distinct()
+    t = triples
+    for col in ("subj", "obj"):
+        rm = ref_map.withColumnRenamed("ref", f"{col}_ref").withColumnRenamed(
+            "canonical_id", f"{col}_canon"
+        )
+        t = t.join(
+            F.broadcast(rm), t[col] == rm[f"{col}_ref"], "left"
+        ).withColumn(
+            col, F.coalesce(F.col(f"{col}_canon"), F.col(col))
+        ).drop(f"{col}_ref", f"{col}_canon")
+    return t

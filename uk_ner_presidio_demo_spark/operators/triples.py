@@ -1,0 +1,79 @@
+"""Triple emission (stage 5) — turn-window relation heuristic [north-rule].
+
+Cogrouped `applyInPandas` over `groupBy(conv_id)` (SURVEY.md §2.9): the turn
+metadata (all turns, including invalid ones — they carry tool info) and the
+resolved mentions are cogrouped per conversation, and the shared pure-Python
+rule kernel `semantics.triples.emit_triples_for_conv` emits the
+(turn_idx, subj, pred, obj) set.  The turn-window co-occurrence (J-4) is thus
+a window-not-join formulation: one shuffle by conv_id on each input, no
+range self-join, no driver collect.
+
+Skew note: the hot conversation (conv skew) lands on one task, but a single
+conv is bounded by max-turns x mentions — the kernel is O(turns * mentions)
+per conv and never materializes cross-conv state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..semantics.detect import Mention
+from ..semantics.triples import WINDOW_W, emit_triples_for_conv
+
+TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+    ]
+)
+
+_MENTION_COLS = ["mention_idx", "entity_type", "start", "end", "score",
+                 "surface", "norm_surface"]
+
+
+def emit_triples(transcripts: DataFrame, mentions: DataFrame,
+                 window: int = WINDOW_W) -> DataFrame:
+    """transcripts: full turn rows; mentions: output of mentions_from_turns."""
+
+    def kernel(key: tuple, turns_pdf: pd.DataFrame,
+               mentions_pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = key[0]
+        turns = [
+            (int(t), None if (tool is None or tool != tool) else tool)
+            for t, tool in zip(turns_pdf["turn_idx"], turns_pdf["tool"])
+        ]
+        by_turn: dict[int, list[Mention]] = {}
+        if len(mentions_pdf):
+            for row in mentions_pdf.sort_values(
+                ["turn_idx", "mention_idx"]
+            ).itertuples(index=False):
+                by_turn.setdefault(int(row.turn_idx), []).append(
+                    Mention(
+                        int(row.mention_idx), row.entity_type, int(row.start),
+                        int(row.end), float(row.score), row.surface,
+                        row.norm_surface,
+                    )
+                )
+        out = emit_triples_for_conv(conv_id, turns, by_turn, window)
+        return pd.DataFrame(
+            [(conv_id, t, s, p, o) for (t, s, p, o) in out],
+            columns=["conv_id", "turn_idx", "subj", "pred", "obj"],
+        )
+
+    turns_meta = transcripts.select("conv_id", "turn_idx", "tool")
+    m = mentions.select("conv_id", "turn_idx", *_MENTION_COLS)
+    return (
+        turns_meta.groupBy("conv_id")
+        .cogroup(m.groupBy("conv_id"))
+        .applyInPandas(kernel, schema=TRIPLES_SCHEMA)
+    )
+
+
+def triple_counts(triples: DataFrame) -> DataFrame:
+    return triples.groupBy("pred").agg(F.count("*").alias("n_triples"))

@@ -78,6 +78,17 @@ def run_oracle(transcripts: pd.DataFrame, strategy: str = DEFAULT_STRATEGY
         triple_rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
     )
     golden_nodes = canonicalize(golden_mentions)
+    ref_map = {
+        f"{r.entity_type}:{r.norm_surface}": r.canonical_id
+        for r in golden_nodes.itertuples(index=False)
+    }
+    golden_canonical_triples = golden_triples.copy()
+    for col in ("subj", "obj"):
+        golden_canonical_triples[col] = golden_canonical_triples[col].map(
+            lambda v: ref_map.get(v, v)
+        )
+    golden_canonical_triples = golden_canonical_triples.drop_duplicates(
+    ).reset_index(drop=True)
     for df in (golden_mentions, golden_triples):
         for c in df.columns:
             if df[c].dtype == "int32":
@@ -91,6 +102,7 @@ def run_oracle(transcripts: pd.DataFrame, strategy: str = DEFAULT_STRATEGY
         "golden_anonymized": golden_anonymized,
         "golden_triples": golden_triples,
         "golden_nodes": golden_nodes,
+        "golden_canonical_triples": golden_canonical_triples,
     }
 
 
@@ -172,11 +184,14 @@ def canonicalize(mentions: pd.DataFrame) -> pd.DataFrame:
     ).sort_values(["entity_type", "norm_surface"]).reset_index(drop=True)
 
 
+GOLDEN_VERSION = 2  # bump when oracle semantics/outputs change -> cache bust
+
+
 def ensure_golden(sf_dir: str, strategy: str = DEFAULT_STRATEGY) -> Path:
     """Materialize golden parquet for the sf of `sf_dir` (cached)."""
     key = sf_key_for_dir(sf_dir)
     out_dir = DATA_ROOT / key
-    marker = out_dir / f"_GOLDEN_{strategy}_OK"
+    marker = out_dir / f"_GOLDEN_{strategy}_v{GOLDEN_VERSION}_OK"
     if marker.exists():
         return out_dir
     tpath = ensure_transcripts(sf_dir)
