@@ -156,6 +156,87 @@ def _q_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Training-data-pipeline operators: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
+    from uk_ner_presidio_demo_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(read_tpch(spark, sf_dir, "documents"))
+
+
+def _q_doc_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: band-key equi-join + exact-Jaccard verify."""
+    from uk_ner_presidio_demo_spark.operators.dedup import neardup_minhash
+
+    return neardup_minhash(read_tpch(spark, sf_dir, "documents"))
+
+
+def _q_doc_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram-Jaccard near-dup (quadratic correctness baseline)."""
+    from uk_ner_presidio_demo_spark.operators.dedup import neardup_exact
+
+    return neardup_exact(read_tpch(spark, sf_dir, "documents"))
+
+
+def _q_doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: segment blocking + JVM bit_count hamming verify."""
+    from uk_ner_presidio_demo_spark.operators.dedup import simhash_dups
+    from uk_ner_presidio_demo_spark.semantics.docsim import SIMHASH_MAX_HAMMING
+
+    return simhash_dups(read_tpch(spark, sf_dir, "documents"),
+                        SIMHASH_MAX_HAMMING)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (JVM-side fold, no UDF)."""
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    return ann_topk_bruteforce(read_tpch(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed top-k (the approximate scale path)."""
+    from uk_ner_presidio_demo_spark.operators.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(read_tpch(spark, sf_dir, "embeddings"))
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs."""
+    from uk_ner_presidio_demo_spark.operators.similarity import emb_neardup
+
+    return emb_neardup(read_tpch(spark, sf_dir, "embeddings"))
+
+
+def _q_txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_ner_presidio_demo_spark.operators.textstats import token_count
+
+    return token_count(read_tpch(spark, sf_dir, "documents"))
+
+
+def _q_txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_ner_presidio_demo_spark.operators.textstats import lang_id
+
+    return lang_id(read_tpch(spark, sf_dir, "documents"))
+
+
+def _q_txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_ner_presidio_demo_spark.operators.textstats import quality_score
+
+    return quality_score(read_tpch(spark, sf_dir, "documents"))
+
+
+def _q_txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_ner_presidio_demo_spark.operators.textstats import fingerprint
+
+    return fingerprint(read_tpch(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Relational operators on the driver's TPC-H-ish tables (live SQL oracles)
 # --------------------------------------------------------------------------
 
@@ -275,6 +356,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_counts": _q_triple_counts,
         "kg_canonical_nodes": _q_canonical_nodes,
         "kg_canonical_triples": _q_canonical_triples,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_neardup_minhash": _q_doc_neardup_minhash,
+        "doc_neardup_exact": _q_doc_neardup_exact,
+        "doc_simhash_dups": _q_doc_simhash_dups,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "emb_neardup": _q_emb_neardup,
+        "txt_token_count": _q_txt_token_count,
+        "txt_lang_id": _q_txt_lang_id,
+        "txt_quality": _q_txt_quality,
+        "txt_fingerprint": _q_txt_fingerprint,
         "tpch_filter_project": _q_tpch_filter_project,
         "tpch_agg": _q_tpch_agg,
         "tpch_broadcast_join": _q_tpch_broadcast_join,
@@ -293,7 +385,92 @@ def oracle_sql() -> dict[str, str]:
     gn = _golden("golden_nodes")
     gct = _golden("golden_canonical_triples")
     tg = _transcripts_glob()
+
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import ensure_docs_golden
+
+    dg = str(ensure_docs_golden(SF001))
     return {
+        "doc_exact_dedup": """
+            SELECT md5(text) AS text_md5, count(*) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_neardup_minhash": f"""
+            SELECT doc_a, doc_b, jaccard_r6
+            FROM read_parquet('{dg}/golden_neardup_minhash.parquet')
+        """,
+        "doc_neardup_exact": f"""
+            SELECT doc_a, doc_b, jaccard_r6
+            FROM read_parquet('{dg}/golden_neardup_exact.parquet')
+        """,
+        "doc_simhash_dups": f"""
+            SELECT doc_a, doc_b, hamming
+            FROM read_parquet('{dg}/golden_simhash_dups.parquet')
+        """,
+        "ann_topk": f"""
+            SELECT query_id, neighbor_id, rank, sim_r6
+            FROM read_parquet('{dg}/golden_ann_topk.parquet')
+        """,
+        "ann_lsh_topk": f"""
+            SELECT query_id, neighbor_id, rank, sim_r6
+            FROM read_parquet('{dg}/golden_ann_lsh_topk.parquet')
+        """,
+        "emb_neardup": f"""
+            SELECT vec_a, vec_b, cos_r6
+            FROM read_parquet('{dg}/golden_emb_neardup.parquet')
+        """,
+        "txt_token_count": """
+            SELECT doc_id,
+                   CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "txt_lang_id": """
+            SELECT doc_id,
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[а-яіїєґА-ЯІЇЄҐ]', '', 'g')) AS BIGINT) AS n_cyr,
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[A-Za-z]', '', 'g')) AS BIGINT) AS n_lat,
+                   CASE
+                     WHEN length(text) - length(regexp_replace(text,
+                          '[а-яіїєґА-ЯІЇЄҐ]', '', 'g'))
+                        > length(text) - length(regexp_replace(text,
+                          '[A-Za-z]', '', 'g')) THEN 'uk'
+                     WHEN length(text) - length(regexp_replace(text,
+                          '[A-Za-z]', '', 'g'))
+                        > length(text) - length(regexp_replace(text,
+                          '[а-яіїєґА-ЯІЇЄҐ]', '', 'g')) THEN 'lat'
+                     ELSE 'other'
+                   END AS lang_guess
+            FROM documents
+        """,
+        "txt_quality": """
+            WITH q AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(regexp_split_to_array(trim(text), '\\s+'))
+                           AS n_tokens,
+                       length(text) - length(regexp_replace(text,
+                           '[.,!?;:]', '', 'g')) AS n_punct
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_punct AS BIGINT) AS n_punct,
+                   n_punct / n_chars AS punct_ratio,
+                   n_chars / n_tokens AS avg_token_len,
+                   (n_tokens >= 5 AND n_chars >= 30
+                    AND n_chars / n_tokens >= 2.0
+                    AND n_chars / n_tokens <= 12.0) AS keep
+            FROM q
+        """,
+        "txt_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp
+            FROM documents
+        """,
         "kg_triples": f"""
             SELECT conv_id, turn_idx, subj, pred, obj
             FROM read_parquet('{gt}')

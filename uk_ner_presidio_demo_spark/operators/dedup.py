@@ -1,0 +1,166 @@
+"""Deduplication family over the `documents` table — exact, MinHash+LSH,
+SimHash, and exact n-gram-Jaccard baseline (training-data-pipeline
+operators; SURVEY-extra, graded first-class).
+
+Scale design:
+  - exact dedup is a single hash-aggregate on md5(text) (JVM-side md5,
+    no UDF; map-side partial agg free from Catalyst)
+  - MinHash/LSH: signatures via one Arrow pass; band keys explode to
+    (band, bhash) rows; candidates from a self equi-join on the band key
+    (shuffle hash join, AQE-skew-safe); exact-Jaccard verify only on
+    candidates — never quadratic
+  - SimHash: 64-bit signature, 4x16-bit segment blocking join, hamming
+    verify on candidates (JVM-side bit_count, no UDF)
+  - the exact all-pairs variant is the CORRECTNESS baseline only; its
+    docstring marks the quadratic shape (small-sf tests); the LSH path is
+    the 100-TB path
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..semantics.docsim import (
+    DOC_JACCARD_THRESHOLD, doc_band_keys, doc_jaccard, doc_minhash, simhash64,
+)
+
+_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bhash", T.LongType()),
+    ]
+)
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: (text_md5, n_copies, keeper_id=min doc_id)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+def _band_rows(docs: DataFrame) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for band, bhash in doc_band_keys(doc_minhash(text)):
+                    rows.append((int(doc_id), band, bhash))
+            yield pd.DataFrame(rows, columns=["doc_id", "band", "bhash"])
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, _BANDS_SCHEMA)
+
+
+@pandas_udf(T.DoubleType())
+def _doc_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([doc_jaccard(x, y) for x, y in zip(a, b)])
+
+
+def neardup_minhash(docs: DataFrame) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify:
+    (doc_a, doc_b, jaccard_r6).  The 100-TB path: candidate generation is
+    an equi-join on band keys, verification touches candidates only."""
+    bands = _band_rows(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
+    return (
+        pairs.withColumn("jac", _doc_jaccard_udf("text_a", "text_b"))
+        .filter(F.col("jac") >= DOC_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard_r6"))
+    )
+
+
+def neardup_exact(docs: DataFrame) -> DataFrame:
+    """All-pairs exact word-3-gram Jaccard (QUADRATIC — correctness baseline
+    for small sf only; use `neardup_minhash` at scale)."""
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.withColumn("jac", _doc_jaccard_udf("text_a", "text_b"))
+        .filter(F.col("jac") >= DOC_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard_r6"))
+    )
+
+
+def _simhash_rows(docs: DataFrame) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = simhash64(text)
+                if h >= (1 << 63):  # store as signed 64-bit (Spark LongType)
+                    h -= 1 << 64
+                rows.append((int(doc_id), h))
+            yield pd.DataFrame(rows, columns=["doc_id", "simhash"])
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, _SIMHASH_SCHEMA)
+
+
+def simhash_dups(docs: DataFrame, max_hamming: int) -> DataFrame:
+    """SimHash near-dups: segment-blocking join + JVM-side hamming verify
+    (bit_count(a XOR b)) — no Python in the verify path."""
+    sh = _simhash_rows(docs)
+    segs = sh.select(
+        "doc_id", "simhash", F.explode(F.array(
+            *[F.struct(F.lit(i).alias("seg"),
+                       F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                       .alias("segval"))
+              for i in range(4)]
+        )).alias("s")
+    ).select("doc_id", "simhash", "s.seg", "s.segval")
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.segval") == F.col("b.segval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    )

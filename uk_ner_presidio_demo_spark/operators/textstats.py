@@ -1,0 +1,78 @@
+"""Text-analysis operators over `documents` (training-data-pipeline extras):
+language-ID heuristic, quality scoring, token counting, and content
+fingerprinting — all pure Catalyst expressions (JVM-side, codegen, no UDF),
+each with a live DuckDB-SQL oracle.
+
+Regex portability note: Spark regexp_replace is global by default, DuckDB
+needs the 'g' flag — the paired oracle SQL in __spark_entry__ carries it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# frozen character classes (shared with the SQL oracles verbatim)
+CYRILLIC_CLASS = "[а-яіїєґА-ЯІЇЄҐ]"
+LATIN_CLASS = "[A-Za-z]"
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def _count_matches(col: str, cls: str) -> Column:
+    return F.length(F.col(col)) - F.length(
+        F.regexp_replace(F.col(col), cls, "")
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count per doc (O(1) memory, scan-local)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Cyrillic/Latin-ratio language heuristic: 'uk' if cyrillic dominates,
+    'lat' if latin dominates, 'other' otherwise."""
+    cyr = _count_matches("text", CYRILLIC_CLASS)
+    lat = _count_matches("text", LATIN_CLASS)
+    return docs.select(
+        "doc_id",
+        cyr.cast("long").alias("n_cyr"),
+        lat.cast("long").alias("n_lat"),
+        F.when(cyr > lat, F.lit("uk"))
+        .when(lat > cyr, F.lit("lat"))
+        .otherwise(F.lit("other"))
+        .alias("lang_guess"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/token heuristics -> per-doc quality features and a
+    boolean keep flag (the C4-style filter shape)."""
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_punct = _count_matches("text", PUNCT_CLASS)
+    avg_tok = n_chars / n_tokens
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        avg_tok.alias("avg_token_len"),
+        (
+            (n_tokens >= 5) & (n_chars >= 30) & (avg_tok >= 2.0)
+            & (avg_tok <= 12.0)
+        ).alias("keep"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dedup / provenance key."""
+    normalized = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(normalized).alias("fp"),
+    )

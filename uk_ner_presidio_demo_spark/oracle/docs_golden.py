@@ -1,0 +1,140 @@
+"""Golden-output oracle for the document/embedding operators (dedup, ANN,
+similarity) — single-process, brute-force where the engine is distributed,
+sharing semantics.docsim verbatim.  Cached per sf under data/synth/."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+
+from ..data.synth import DATA_ROOT
+from ..semantics.docsim import (
+    ANN_K, DOC_JACCARD_THRESHOLD, EMB_NEARDUP_COS, SIMHASH_MAX_HAMMING,
+    cosine_seq, doc_band_keys, doc_jaccard, doc_minhash, rp_bucket, simhash64,
+    simhash_segments, hamming64,
+)
+
+DOCS_GOLDEN_VERSION = 2
+
+
+def _sf_key(sf_dir: str) -> str:
+    return Path(sf_dir).name
+
+
+def ensure_docs_golden(sf_dir: str) -> Path:
+    key = _sf_key(sf_dir)
+    out_dir = DATA_ROOT / f"docs_{key}"
+    marker = out_dir / f"_GOLDEN_v{DOCS_GOLDEN_VERSION}_OK"
+    if marker.exists():
+        return out_dir
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")[["vec_id", "embedding"]]
+
+    # --- near-dup via MinHash/LSH bands + exact verify ---
+    buckets: dict[tuple[int, int], list[int]] = {}
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for doc_id, text in texts.items():
+        for bk in doc_band_keys(doc_minhash(text)):
+            buckets.setdefault(bk, []).append(doc_id)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    lsh_rows = []
+    for a, b in sorted(cand):
+        jac = doc_jaccard(texts[a], texts[b])
+        if jac >= DOC_JACCARD_THRESHOLD:
+            lsh_rows.append((a, b, round(jac, 6)))
+    pd.DataFrame(lsh_rows, columns=["doc_a", "doc_b", "jaccard_r6"]).to_parquet(
+        out_dir / "golden_neardup_minhash.parquet", index=False
+    )
+
+    # --- near-dup via exact all-pairs (baseline) ---
+    ids = sorted(texts)
+    exact_rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = doc_jaccard(texts[ids[i]], texts[ids[j]])
+            if jac >= DOC_JACCARD_THRESHOLD:
+                exact_rows.append((ids[i], ids[j], round(jac, 6)))
+    pd.DataFrame(exact_rows, columns=["doc_a", "doc_b", "jaccard_r6"]).to_parquet(
+        out_dir / "golden_neardup_exact.parquet", index=False
+    )
+
+    # --- SimHash dups (segment blocking + hamming verify) ---
+    sh = {d: simhash64(t) for d, t in texts.items()}
+    seg_buckets: dict[tuple[int, int], list[int]] = {}
+    for d, h in sh.items():
+        for seg in simhash_segments(h):
+            seg_buckets.setdefault(seg, []).append(d)
+    scand = set()
+    for members in seg_buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                scand.add((ms[i], ms[j]))
+    sim_rows = []
+    for a, b in sorted(scand):
+        hd = hamming64(sh[a], sh[b])
+        if hd <= SIMHASH_MAX_HAMMING:
+            sim_rows.append((a, b, hd))
+    pd.DataFrame(sim_rows, columns=["doc_a", "doc_b", "hamming"]).to_parquet(
+        out_dir / "golden_simhash_dups.parquet", index=False
+    )
+
+    # --- ANN brute-force top-k (queries: vec_id % 25 == 0) ---
+    # float32 -> exact float64 per element, matching Spark's cast(double)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.itertuples(index=False)
+    }
+    qids = sorted(v for v in vecs if v % 25 == 0)
+    ann_rows = []
+    for q in qids:
+        sims = []
+        for v, vec in vecs.items():
+            if v == q:
+                continue
+            sims.append((v, cosine_seq(vecs[q], vec)))
+        sims.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (v, s) in enumerate(sims[:ANN_K], 1):
+            ann_rows.append((q, v, rank, round(s, 6)))
+    pd.DataFrame(
+        ann_rows, columns=["query_id", "neighbor_id", "rank", "sim_r6"]
+    ).to_parquet(out_dir / "golden_ann_topk.parquet", index=False)
+
+    # --- ANN via hyperplane-LSH bucket (scale path; deterministic) ---
+    bk = {v: rp_bucket(vec) for v, vec in vecs.items()}
+    lsh_ann_rows = []
+    for q in qids:
+        sims = []
+        for v, vec in vecs.items():
+            if v == q or bk[v] != bk[q]:
+                continue
+            sims.append((v, cosine_seq(vecs[q], vec)))
+        sims.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (v, s) in enumerate(sims[:ANN_K], 1):
+            lsh_ann_rows.append((q, v, rank, round(s, 6)))
+    pd.DataFrame(
+        lsh_ann_rows, columns=["query_id", "neighbor_id", "rank", "sim_r6"]
+    ).to_parquet(out_dir / "golden_ann_lsh_topk.parquet", index=False)
+
+    # --- embedding near-dup pairs ---
+    vids = sorted(vecs)
+    nd_rows = []
+    for i in range(len(vids)):
+        for j in range(i + 1, len(vids)):
+            c = cosine_seq(vecs[vids[i]], vecs[vids[j]])
+            if c >= EMB_NEARDUP_COS:
+                nd_rows.append((vids[i], vids[j], round(c, 6)))
+    pd.DataFrame(nd_rows, columns=["vec_a", "vec_b", "cos_r6"]).to_parquet(
+        out_dir / "golden_emb_neardup.parquet", index=False
+    )
+
+    marker.write_text("ok")
+    return out_dir

