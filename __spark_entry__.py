@@ -236,6 +236,34 @@ def _q_txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(read_tpch(spark, sf_dir, "documents"))
 
 
+def _read_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_ner_presidio_demo_spark.data.synth import ensure_media
+
+    return spark.read.parquet(str(ensure_media(sf_dir)))
+
+
+def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract over binary payloads (Arrow-batched
+    UDF; deterministic stub decoder — see operators/multimodal.py)."""
+    from uk_ner_presidio_demo_spark.operators.multimodal import decode_features
+
+    return decode_features(_read_media(spark, sf_dir))
+
+
+def _q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize planning (pure Catalyst)."""
+    from uk_ner_presidio_demo_spark.operators.multimodal import resize_plan
+
+    return resize_plan(_read_media(spark, sf_dir))
+
+
+def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling via sequence+posexplode (JVM-only UDTF shape)."""
+    from uk_ner_presidio_demo_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_read_media(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Relational operators on the driver's TPC-H-ish tables (live SQL oracles)
 # --------------------------------------------------------------------------
@@ -367,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lang_id": _q_txt_lang_id,
         "txt_quality": _q_txt_quality,
         "txt_fingerprint": _q_txt_fingerprint,
+        "mm_decode_features": _q_mm_decode_features,
+        "mm_resize_plan": _q_mm_resize_plan,
+        "mm_frame_sample": _q_mm_frame_sample,
         "tpch_filter_project": _q_tpch_filter_project,
         "tpch_agg": _q_tpch_agg,
         "tpch_broadcast_join": _q_tpch_broadcast_join,
@@ -386,10 +417,43 @@ def oracle_sql() -> dict[str, str]:
     gct = _golden("golden_canonical_triples")
     tg = _transcripts_glob()
 
-    from uk_ner_presidio_demo_spark.oracle.docs_golden import ensure_docs_golden
+    from uk_ner_presidio_demo_spark.data.synth import ensure_media
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+        ensure_docs_golden, ensure_media_golden,
+    )
 
     dg = str(ensure_docs_golden(SF001))
+    mg = str(ensure_media_golden(SF001))
+    media_pq = str(ensure_media(SF001))
     return {
+        "mm_decode_features": f"""
+            SELECT media_id, media_type, feat
+            FROM read_parquet('{mg}/golden_media_features.parquet')
+        """,
+        "mm_resize_plan": f"""
+            SELECT media_id,
+                   CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST(CASE WHEN greatest(width, height) <= 512 THEN width
+                        ELSE floor(width * (512.0 / greatest(width, height)))
+                        END AS BIGINT) AS new_width,
+                   CAST(CASE WHEN greatest(width, height) <= 512 THEN height
+                        ELSE floor(height * (512.0 / greatest(width, height)))
+                        END AS BIGINT) AS new_height
+            FROM read_parquet('{media_pq}') WHERE media_type = 'image'
+        """,
+        "mm_frame_sample": f"""
+            SELECT media_id,
+                   CAST(ts_ms / 500 AS BIGINT) AS frame_idx,
+                   CAST(ts_ms AS BIGINT) AS ts_ms
+            FROM (
+                SELECT media_id,
+                       unnest(range(0, CAST(duration_ms AS BIGINT) + 1, 500))
+                           AS ts_ms
+                FROM read_parquet('{media_pq}')
+                WHERE media_type = 'video'
+            )
+        """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_md5, count(*) AS n_copies,
                    min(doc_id) AS keeper_id

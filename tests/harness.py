@@ -30,6 +30,13 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(
+            df[c].dropna().iloc[0] if df[c].notna().any() else None,
+            (list, np.ndarray),
+        ):
+            df[c] = df[c].map(
+                lambda v: tuple(float(x) for x in v) if v is not None else None
+            )
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(df[c]):

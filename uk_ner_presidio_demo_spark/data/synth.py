@@ -156,6 +156,9 @@ def synth_transcripts(n_convs: int, seed: int = SEED) -> pd.DataFrame:
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
     df["turn_idx"] = df["turn_idx"].astype("int32")
+    # microsecond precision: Spark's streaming parquet reader rejects the
+    # INT64-nanos encoding pandas defaults to
+    df["ts"] = df["ts"].astype("datetime64[us]")
     return df
 
 
@@ -224,15 +227,59 @@ def ensure_transcripts(sf_dir: str) -> Path:
     """
     key = sf_key_for_dir(sf_dir)
     out = DATA_ROOT / key / "transcripts.parquet"
-    if not (out / "_OK").exists():
+    if not (out / "_OK_v2").exists():
         out.mkdir(parents=True, exist_ok=True)
+        for old in out.glob("part-*.parquet"):
+            old.unlink()
         df = synth_transcripts(SF_CONVS[key])
         n = SF_BUCKETS[key]
         buckets = df["conv_id"].map(lambda c: conv_bucket(c, n))
         for b in range(n):
             part = df[buckets == b]
             part.to_parquet(out / f"part-{b:05d}.parquet", index=False)
-        (out / "_OK").write_text("ok")
+        (out / "_OK_v2").write_text("ok")
+    return out
+
+
+SF_MEDIA = {"sf0.001": 120, "sf0.01": 600, "sf0.1": 3000}
+
+
+def synth_media(n_media: int, seed: int = SEED) -> pd.DataFrame:
+    """Deterministic multimodal metadata table: opaque binary payloads with
+    typed metadata (FIXTURES-extra; consumed by operators/multimodal.py)."""
+    from ..semantics.media import make_payload
+
+    rng = random.Random(seed + 2)
+    types = ("image", "audio", "video")
+    rows = []
+    for mid in range(n_media):
+        mtype = types[mid % 3]
+        width = rng.choice((320, 640, 1024, 2048)) if mtype == "image" else 0
+        height = rng.choice((240, 480, 768, 1536)) if mtype == "image" else 0
+        duration = rng.randrange(1000, 30000) if mtype in ("audio", "video") else 0
+        sample_rate = 16000 if mtype == "audio" else 0
+        rows.append(
+            (mid, mid % 500, mtype, make_payload(mid, mtype),
+             width, height, duration, sample_rate)
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=["media_id", "doc_id", "media_type", "payload", "width",
+                 "height", "duration_ms", "sample_rate"],
+    )
+    for c in ("width", "height", "duration_ms", "sample_rate"):
+        df[c] = df[c].astype("int32")
+    return df
+
+
+def ensure_media(sf_dir: str) -> Path:
+    key = sf_key_for_dir(sf_dir)
+    out = DATA_ROOT / key / "media.parquet"
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_suffix(".tmp.parquet")
+        synth_media(SF_MEDIA[key]).to_parquet(tmp, index=False)
+        tmp.rename(out)
     return out
 
 

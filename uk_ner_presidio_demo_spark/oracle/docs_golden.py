@@ -138,3 +138,31 @@ def ensure_docs_golden(sf_dir: str) -> Path:
 
     marker.write_text("ok")
     return out_dir
+
+
+MEDIA_GOLDEN_VERSION = 1
+
+
+def ensure_media_golden(sf_dir: str) -> Path:
+    """Golden features for the multimodal decode stub (shared fake
+    extractor, semantics.media)."""
+    from ..data.synth import ensure_media
+    from ..semantics.media import fake_decode_features
+
+    key = _sf_key(sf_dir)
+    out_dir = DATA_ROOT / f"media_{key}"
+    marker = out_dir / f"_GOLDEN_v{MEDIA_GOLDEN_VERSION}_OK"
+    if marker.exists():
+        return out_dir
+    out_dir.mkdir(parents=True, exist_ok=True)
+    media = pd.read_parquet(ensure_media(sf_dir))
+    rows = [
+        (int(r.media_id), r.media_type,
+         fake_decode_features(bytes(r.payload), r.media_type))
+        for r in media.itertuples(index=False)
+    ]
+    pd.DataFrame(rows, columns=["media_id", "media_type", "feat"]).to_parquet(
+        out_dir / "golden_media_features.parquet", index=False
+    )
+    marker.write_text("ok")
+    return out_dir

@@ -1,0 +1,114 @@
+"""Structured Streaming extension (SURVEY.md §2.8 design note made real).
+
+The per-turn detection kernel is stateless, so it lifts unchanged into a
+streaming DAG: `readStream` over the transcripts directory -> validity
+filter -> one mapInPandas Arrow pass -> watermarked windowed aggregation.
+Canonicalization stays batch (iterative/global); this path serves the
+"mentions feed" shape: late data bounded by the watermark, per-window
+entity-type counts.
+
+Test harness: `run_available_now` drives the stream with
+trigger(availableNow) into a memory sink and returns the collected result —
+real streaming execution (micro-batches over the source files), no mocks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..semantics.detect import detect_mentions
+from ..semantics.registry import is_valid_text
+from ..sources.tables import TRANSCRIPTS_SCHEMA, valid_text_predicate
+
+STREAM_MENTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("entity_type", T.StringType()),
+        T.StructField("norm_surface", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def read_transcripts_stream(spark: SparkSession, path: str,
+                            max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def detect_mentions_stream(stream: DataFrame,
+                           strategy: str = "priority") -> DataFrame:
+    """Stateless detection over a stream — the same frozen kernel, with ts
+    carried through for watermarking."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, ts, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["ts"], pdf["text"]
+            ):
+                if not is_valid_text(text):
+                    continue
+                mentions, _ = detect_mentions(text, strategy=strategy)
+                for m in mentions:
+                    rows.append(
+                        (conv_id, turn_idx, ts, m.entity_type,
+                         m.norm_surface, m.score)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "ts", "entity_type",
+                         "norm_surface", "score"],
+            )
+
+    return (
+        stream.filter(valid_text_predicate())
+        .select("conv_id", "turn_idx", "ts", "text")
+        .mapInPandas(kernel, STREAM_MENTIONS_SCHEMA)
+    )
+
+
+def windowed_entity_counts(mentions_stream: DataFrame,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per entity type — the late-data
+    handling shape (watermark bounds state; late rows beyond it drop)."""
+    return (
+        mentions_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "entity_type")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "entity_type", "n_mentions",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, query_name: str,
+                      checkpoint_dir: str, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow trigger)
+    into a memory sink; returns the sink contents as a DataFrame.
+
+    Test-harness only: Spark's memory sink cannot RESUME from a checkpoint
+    (restarting with the same checkpointLocation raises).  Production runs
+    use a durable sink (parquet/Iceberg), which resumes exactly-once."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)
