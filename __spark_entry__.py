@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: detect mentions over the sf0.001 transcripts and rank
     entity surfaces (SURVEY.md §7 Phase 1 query)."""
     tr = read_transcripts(spark, "/root/testdata/sf0.001")
-    mentions = mentions_from_turns(detect_turns(tr))
+    mentions = mentions_from_turns(detect_turns(tr, with_anonymized=False))
     return (
         mentions.groupBy("entity_type", "norm_surface")
         .agg(F.count("*").alias("n_mentions"))
@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-5..O-8, F-3, F-4, U-1, W-1/W-2 fused detection -> mentions table."""
     tr = read_transcripts(spark, sf_dir)
-    m = mentions_from_turns(detect_turns(tr))
+    m = mentions_from_turns(detect_turns(tr, with_anonymized=False))
     return m.withColumn("turn_idx", F.col("turn_idx").cast("long"))
 
 
@@ -115,7 +115,7 @@ def _q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_ner_presidio_demo_spark.operators.triples import emit_triples
 
     tr = read_transcripts(spark, sf_dir)
-    m = mentions_from_turns(detect_turns(tr))
+    m = mentions_from_turns(detect_turns(tr, with_anonymized=False))
     return emit_triples(tr, m)
 
 
@@ -134,7 +134,7 @@ def _q_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_ner_presidio_demo_spark.sources.tables import read_aliases
 
     tr = read_transcripts(spark, sf_dir)
-    m = mentions_from_turns(detect_turns(tr))
+    m = mentions_from_turns(detect_turns(tr, with_anonymized=False))
     nodes, edges = link_entities(m, read_aliases(spark))
     return canonical_nodes(nodes, edges)
 
@@ -149,7 +149,7 @@ def _q_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_ner_presidio_demo_spark.sources.tables import read_aliases
 
     tr = read_transcripts(spark, sf_dir)
-    m = mentions_from_turns(detect_turns(tr))
+    m = mentions_from_turns(detect_turns(tr, with_anonymized=False))
     nodes, edges = link_entities(m, read_aliases(spark))
     canon = canonical_nodes(nodes, edges)
     return canonical_triples(emit_triples(tr, m), canon).distinct()
