@@ -155,6 +155,84 @@ def _q_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_triples(emit_triples(tr, m), canon).distinct()
 
 
+def _q_top_surfaces_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused twin of kg_top_surfaces: two-phase aggregation with an
+    explicit salt on the hot key (F-9 salting; BASELINE 'salting on hot
+    entities') — same result, partials spread across n_salt reducers."""
+    m = _q_mentions(spark, sf_dir)
+    salted = m.withColumn("salt", F.pmod(F.hash("conv_id"), F.lit(16)))
+    partial = salted.groupBy("entity_type", "norm_surface", "salt").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        partial.groupBy("entity_type", "norm_surface")
+        .agg(F.sum("c").alias("n_mentions"))
+        .orderBy(F.desc("n_mentions"), "entity_type", "norm_surface")
+        .limit(50)
+    )
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-4 sanitize_text as a pure Catalyst regexp chain (upload-path
+    pre-stage; never applied inside analyze, preserving the per-turn
+    invariant)."""
+    from uk_ner_presidio_demo_spark.operators.textnorm import normalize_turns
+
+    tr = read_transcripts(spark, sf_dir)
+    n = normalize_turns(tr)
+    return n.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
+def _confirmed_keys(m: DataFrame) -> DataFrame:
+    from uk_ner_presidio_demo_spark.semantics.review import confirmed_predicate
+
+    return m.filter(confirmed_predicate()).select(
+        "conv_id", "turn_idx", "mention_idx"
+    )
+
+
+def _q_confirmed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-9/J-6 left-semi: mentions surviving the (deterministic) review."""
+    from uk_ner_presidio_demo_spark.operators.review import confirmed_mentions
+
+    m = _q_mentions(spark, sf_dir)
+    return confirmed_mentions(m, _confirmed_keys(m))
+
+
+def _q_rejected_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-6 left-anti twin: reviewer-rejected mentions (audit path)."""
+    from uk_ner_presidio_demo_spark.operators.review import rejected_mentions
+
+    m = _q_mentions(spark, sf_dir)
+    return rejected_mentions(m, _confirmed_keys(m))
+
+
+def _q_selective_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase review: splice ONLY confirmed spans (selective rewrite)."""
+    from uk_ner_presidio_demo_spark.operators.review import (
+        confirmed_mentions, selective_anonymize,
+    )
+    from uk_ner_presidio_demo_spark.sources.tables import valid_text_predicate
+
+    tr = read_transcripts(spark, sf_dir).filter(valid_text_predicate())
+    m = _q_mentions(spark, sf_dir)
+    kept = confirmed_mentions(m, _confirmed_keys(m))
+    out = selective_anonymize(tr, kept)
+    return out.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
+def _q_highlight_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-2 highlight segmentation: (chunk, label) runs per turn."""
+    from uk_ner_presidio_demo_spark.operators.review import highlight_segments
+    from uk_ner_presidio_demo_spark.sources.tables import valid_text_predicate
+
+    tr = read_transcripts(spark, sf_dir).filter(valid_text_predicate())
+    m = _q_mentions(spark, sf_dir)
+    out = highlight_segments(tr, m)
+    return out.withColumn("turn_idx", F.col("turn_idx").cast("long")) \
+              .withColumn("seg_idx", F.col("seg_idx").cast("long"))
+
+
 # --------------------------------------------------------------------------
 # Training-data-pipeline operators: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
@@ -380,6 +458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_type_counts": _q_entity_type_counts,
         "kg_top_surfaces": _q_top_surfaces,
         "kg_valid_turn_stats": _q_valid_turn_stats,
+        "kg_top_surfaces_salted": _q_top_surfaces_salted,
+        "kg_normalize_text": _q_normalize_text,
+        "kg_confirmed_mentions": _q_confirmed_mentions,
+        "kg_rejected_mentions": _q_rejected_mentions,
+        "kg_selective_anonymized": _q_selective_anonymized,
+        "kg_highlight_segments": _q_highlight_segments,
         "kg_triples": _q_triples,
         "kg_triple_counts": _q_triple_counts,
         "kg_canonical_nodes": _q_canonical_nodes,
@@ -415,7 +499,12 @@ def oracle_sql() -> dict[str, str]:
     gt = _golden("golden_triples")
     gn = _golden("golden_nodes")
     gct = _golden("golden_canonical_triples")
+    gsel = _golden("golden_selective_anonymized")
+    gseg = _golden("golden_segments")
     tg = _transcripts_glob()
+    # priority <= 2 types, from the shared review-confirmation rule
+    _top_pii = "('CREDIT_CARD','IBAN_CODE','EMAIL_ADDRESS','PHONE_NUMBER','CRYPTO')"
+    _confirm = f"(score >= 0.9 OR entity_type IN {_top_pii})"
 
     from uk_ner_presidio_demo_spark.data.synth import ensure_media
     from uk_ner_presidio_demo_spark.oracle.docs_golden import (
@@ -534,6 +623,40 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                        AS fp
             FROM documents
+        """,
+        "kg_top_surfaces_salted": f"""
+            SELECT entity_type, norm_surface, count(*) AS n_mentions
+            FROM read_parquet('{gm}')
+            GROUP BY entity_type, norm_surface
+            ORDER BY n_mentions DESC, entity_type, norm_surface
+            LIMIT 50
+        """,
+        "kg_normalize_text": f"""
+            SELECT conv_id, turn_idx,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text, '\\r\\n?', chr(10), 'g'),
+                       '[ \\t]+\\n', chr(10), 'g'),
+                       '\\n{{3,}}', chr(10) || chr(10), 'g'),
+                       '^\\s+|\\s+$', '', 'g') AS norm_text
+            FROM read_parquet('{tg}')
+        """,
+        "kg_confirmed_mentions": f"""
+            SELECT conv_id, turn_idx, mention_idx, entity_type, start,
+                   "end", score, surface, norm_surface
+            FROM read_parquet('{gm}') WHERE {_confirm}
+        """,
+        "kg_rejected_mentions": f"""
+            SELECT conv_id, turn_idx, mention_idx, entity_type, start,
+                   "end", score, surface, norm_surface
+            FROM read_parquet('{gm}') WHERE NOT {_confirm}
+        """,
+        "kg_selective_anonymized": f"""
+            SELECT conv_id, turn_idx, anonymized_text
+            FROM read_parquet('{gsel}')
+        """,
+        "kg_highlight_segments": f"""
+            SELECT conv_id, turn_idx, seg_idx, chunk, label
+            FROM read_parquet('{gseg}')
         """,
         "kg_triples": f"""
             SELECT conv_id, turn_idx, subj, pred, obj

@@ -43,6 +43,12 @@ def main() -> None:
         "kg_anonymized",
         "kg_entity_type_counts",
         "kg_top_surfaces",
+        "kg_triples",
+        "kg_canonical_nodes",
+        "doc_neardup_minhash",
+        "doc_simhash_dups",
+        "ann_topk",
+        "txt_quality",
         "tpch_agg",
         "tpch_broadcast_join",
         "tpch_window_topk",

@@ -1,137 +1,158 @@
 """Similarity search over the `embeddings` table: brute-force cosine top-k
-(baseline) and random-hyperplane-LSH-bucketed top-k (scale path).
+(baseline) and random-hyperplane-LSH-bucketed top-k (scale path), plus
+all-pairs near-dup.
 
-Cosine is computed ENTIRELY JVM-side: cast array<float> -> array<double>,
-`zip_with` product, `aggregate` sequential fold, `sqrt` norms — no Python in
-the hot path, whole-stage-codegen-friendly.  The fold order matches the
-oracle's `cosine_seq` exactly, so doubles are bit-identical.
+Kernel design: cosine is ONE float64 BLAS matmul per Arrow batch
+(`semantics.docsim.cosine_matrix`, shared verbatim with the oracle, so
+doubles are bit-identical).  Catalyst higher-order functions were measured
+~50x slower here — HOF lambdas are interpreted, not codegen'd — so the
+vectorized pandas path IS the performant formulation, not a fallback.
 
-Scale notes: the query set broadcasts (it is small by construction); the
-candidate side streams.  Brute force is O(Q x N) — the honest baseline; the
-LSH variant prunes candidates to the query's hyperplane bucket (bucket ids
-from one Arrow pass), turning the join into an equi-join on bucket id.
+Scale shape: the query set is small by construction and ships to executors
+inside the UDF closure (a broadcast); candidates stream through in Arrow
+batches; each batch emits only its LOCAL top-k per query (map-side combine
+for top-k), and a final window takes the global top-k over
+n_batches x nq x k rows.  The LSH variant prunes candidates to the query's
+hyperplane bucket before scoring.  The all-pairs near-dup keeps the full
+(small) vector matrix in the closure — at real scale you LSH-block first;
+the quadratic form is the correctness baseline.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
-from ..semantics.docsim import ANN_K, EMB_NEARDUP_COS, rp_bucket
+from ..semantics.docsim import ANN_K, EMB_NEARDUP_COS, cosine_matrix, rp_bucket
+
+_SCORED_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ]
+)
 
 
-def _as_double(col) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def cosine_col(a: Column, b: Column) -> Column:
-    """Sequential-fold cosine, bit-compatible with semantics.docsim.cosine_seq."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
-        lambda acc, v: acc + v,
+def _collect_queries(emb: DataFrame) -> tuple[list[int], "np.ndarray"]:
+    rows = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    na = F.aggregate(
-        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-    )
-    nb = F.aggregate(
-        F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-    )
-    return F.when(
-        (na == 0.0) | (nb == 0.0), F.lit(0.0)
-    ).otherwise(dot / (F.sqrt(na) * F.sqrt(nb)))
+    rows.sort(key=lambda r: r.vec_id)
+    qids = [int(r.vec_id) for r in rows]
+    qmat = np.array([[float(x) for x in r.embedding] for r in rows],
+                    dtype=np.float64)
+    return qids, qmat
 
 
-def _queries(emb: DataFrame) -> DataFrame:
-    return emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        _as_double("embedding").alias("qvec"),
+def _topk_scored(emb: DataFrame, qids: list[int], qmat: "np.ndarray",
+                 k: int, qbuckets: list[int] | None) -> DataFrame:
+    """Batch-local top-k scoring kernel; qbuckets (parallel to qids)
+    restricts each query to candidates in its LSH bucket."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["vec_id"].to_numpy()
+            cmat = np.array(
+                [[float(x) for x in v] for v in pdf["embedding"]],
+                dtype=np.float64,
+            )
+            sims = cosine_matrix(qmat, cmat)  # (nc, nq)
+            if qbuckets is not None:
+                cbuckets = np.array(
+                    [rp_bucket([float(x) for x in v])
+                     for v in pdf["embedding"]]
+                )
+            out = []
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                mask = cids != qid
+                if qbuckets is not None:
+                    mask &= cbuckets == qbuckets[qi]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                # local top-k, deterministic tie-break by neighbor id
+                order = np.lexsort((cids[idx], -col[idx]))[:k]
+                for j in idx[order]:
+                    out.append((qid, int(cids[j]), float(col[j])))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "sim"]
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, _SCORED_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 6).alias("sim_r6"),
+        )
     )
 
 
 def ann_topk_bruteforce(emb: DataFrame, k: int = ANN_K) -> DataFrame:
     """(query_id, neighbor_id, rank, sim_r6): exact top-k by cosine."""
-    from pyspark.sql.window import Window
-
-    q = _queries(emb)
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _as_double("embedding").alias("cvec"),
-    )
-    scored = (
-        F.broadcast(q).crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_col(F.col("qvec"), F.col("cvec")))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.round("sim", 6).alias("sim_r6"),
-        )
-    )
-
-
-@pandas_udf(T.LongType())
-def _rp_bucket_udf(vecs: pd.Series) -> pd.Series:
-    return pd.Series([rp_bucket([float(x) for x in v]) for v in vecs])
+    qids, qmat = _collect_queries(emb)
+    return _topk_scored(emb, qids, qmat, k, None)
 
 
 def ann_topk_lsh(emb: DataFrame, k: int = ANN_K) -> DataFrame:
     """LSH-bucketed top-k: candidates limited to the query's hyperplane
     bucket (approximate; deterministic seeded planes)."""
-    from pyspark.sql.window import Window
-
-    bucketed = emb.withColumn("bucket", _rp_bucket_udf("embedding"))
-    q = bucketed.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        _as_double("embedding").alias("qvec"),
-        F.col("bucket").alias("qbucket"),
-    )
-    c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _as_double("embedding").alias("cvec"),
-        F.col("bucket").alias("cbucket"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("qbucket") == F.col("cbucket"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_col(F.col("qvec"), F.col("cvec")))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.round("sim", 6).alias("sim_r6"),
-        )
-    )
+    qids, qmat = _collect_queries(emb)
+    qbuckets = [rp_bucket(list(qmat[i])) for i in range(len(qids))]
+    return _topk_scored(emb, qids, qmat, k, qbuckets)
 
 
 def emb_neardup(emb: DataFrame, threshold: float = EMB_NEARDUP_COS) -> DataFrame:
-    """All-pairs cosine >= threshold (baseline; LSH prunes at scale)."""
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), _as_double("embedding").alias("va")
+    """All-pairs cosine >= threshold (quadratic correctness baseline; the
+    production path LSH-blocks candidates first).  The full vector matrix
+    rides in the UDF closure; each Arrow batch scores its rows against all
+    vectors with one matmul and emits (a < b) qualifying pairs."""
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    all_ids = np.array([int(r.vec_id) for r in rows])
+    all_mat = np.array([[float(x) for x in r.embedding] for r in rows],
+                       dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["vec_id"].to_numpy()
+            cmat = np.array(
+                [[float(x) for x in v] for v in pdf["embedding"]],
+                dtype=np.float64,
+            )
+            sims = cosine_matrix(all_mat, cmat)  # (batch, n_all)
+            out = []
+            for bi in range(sims.shape[0]):
+                hits = np.nonzero(
+                    (sims[bi] >= threshold) & (all_ids > cids[bi])
+                )[0]
+                for j in hits:
+                    out.append((int(cids[bi]), int(all_ids[j]),
+                                float(sims[bi, j])))
+            yield pd.DataFrame(out, columns=["vec_a", "vec_b", "cos"])
+
+    pairs = emb.select("vec_id", "embedding").mapInPandas(
+        kernel,
+        "vec_a long, vec_b long, cos double",
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), _as_double("embedding").alias("vb")
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_r6"))
-    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos_r6"))

@@ -11,11 +11,11 @@ import pandas as pd
 from ..data.synth import DATA_ROOT
 from ..semantics.docsim import (
     ANN_K, DOC_JACCARD_THRESHOLD, EMB_NEARDUP_COS, SIMHASH_MAX_HAMMING,
-    cosine_seq, doc_band_keys, doc_jaccard, doc_minhash, rp_bucket, simhash64,
-    simhash_segments, hamming64,
+    cosine_matrix, doc_band_keys, doc_jaccard, doc_minhash, rp_bucket,
+    simhash64, simhash_segments, hamming64,
 )
 
-DOCS_GOLDEN_VERSION = 2
+DOCS_GOLDEN_VERSION = 3
 
 
 def _sf_key(sf_dir: str) -> str:
@@ -87,51 +87,52 @@ def ensure_docs_golden(sf_dir: str) -> Path:
         out_dir / "golden_simhash_dups.parquet", index=False
     )
 
-    # --- ANN brute-force top-k (queries: vec_id % 25 == 0) ---
-    # float32 -> exact float64 per element, matching Spark's cast(double)
-    vecs = {
+    # --- ANN + near-dup over the shared numpy kernel ---
+    import numpy as np
+
+    # float32 -> exact float64 per element, matching the engine kernels
+    vids = sorted(int(r.vec_id) for r in emb.itertuples(index=False))
+    by_id = {
         int(r.vec_id): [float(x) for x in r.embedding]
         for r in emb.itertuples(index=False)
     }
-    qids = sorted(v for v in vecs if v % 25 == 0)
-    ann_rows = []
-    for q in qids:
-        sims = []
-        for v, vec in vecs.items():
-            if v == q:
-                continue
-            sims.append((v, cosine_seq(vecs[q], vec)))
-        sims.sort(key=lambda t: (-t[1], t[0]))
-        for rank, (v, s) in enumerate(sims[:ANN_K], 1):
-            ann_rows.append((q, v, rank, round(s, 6)))
+    cmat = np.array([by_id[v] for v in vids], dtype=np.float64)
+    cids = np.array(vids)
+    qids = [v for v in vids if v % 25 == 0]
+    qmat = np.array([by_id[q] for q in qids], dtype=np.float64)
+    sims = cosine_matrix(qmat, cmat)  # (nc, nq)
+
+    def topk_rows(mask_fn):
+        rows = []
+        for qi, q in enumerate(qids):
+            col = sims[:, qi]
+            mask = cids != q
+            mask &= mask_fn(qi)
+            idx = np.nonzero(mask)[0]
+            order = np.lexsort((cids[idx], -col[idx]))[:ANN_K]
+            for rank, j in enumerate(idx[order], 1):
+                rows.append((q, int(cids[j]), rank, round(float(col[j]), 6)))
+        return rows
+
     pd.DataFrame(
-        ann_rows, columns=["query_id", "neighbor_id", "rank", "sim_r6"]
+        topk_rows(lambda qi: np.ones(len(cids), dtype=bool)),
+        columns=["query_id", "neighbor_id", "rank", "sim_r6"],
     ).to_parquet(out_dir / "golden_ann_topk.parquet", index=False)
 
-    # --- ANN via hyperplane-LSH bucket (scale path; deterministic) ---
-    bk = {v: rp_bucket(vec) for v, vec in vecs.items()}
-    lsh_ann_rows = []
-    for q in qids:
-        sims = []
-        for v, vec in vecs.items():
-            if v == q or bk[v] != bk[q]:
-                continue
-            sims.append((v, cosine_seq(vecs[q], vec)))
-        sims.sort(key=lambda t: (-t[1], t[0]))
-        for rank, (v, s) in enumerate(sims[:ANN_K], 1):
-            lsh_ann_rows.append((q, v, rank, round(s, 6)))
+    buckets = np.array([rp_bucket(by_id[v]) for v in vids])
+    qbuckets = [rp_bucket(by_id[q]) for q in qids]
     pd.DataFrame(
-        lsh_ann_rows, columns=["query_id", "neighbor_id", "rank", "sim_r6"]
+        topk_rows(lambda qi: buckets == qbuckets[qi]),
+        columns=["query_id", "neighbor_id", "rank", "sim_r6"],
     ).to_parquet(out_dir / "golden_ann_lsh_topk.parquet", index=False)
 
-    # --- embedding near-dup pairs ---
-    vids = sorted(vecs)
+    # near-dup: sims of every row against every row, pairs a < b
+    full = cosine_matrix(cmat, cmat)  # (nc, nc); [i, j] = dot(c_i_n, c_j_n)
     nd_rows = []
     for i in range(len(vids)):
-        for j in range(i + 1, len(vids)):
-            c = cosine_seq(vecs[vids[i]], vecs[vids[j]])
-            if c >= EMB_NEARDUP_COS:
-                nd_rows.append((vids[i], vids[j], round(c, 6)))
+        hits = np.nonzero((full[i] >= EMB_NEARDUP_COS) & (cids > cids[i]))[0]
+        for j in hits:
+            nd_rows.append((vids[i], int(cids[j]), round(float(full[i, j]), 6)))
     pd.DataFrame(nd_rows, columns=["vec_a", "vec_b", "cos_r6"]).to_parquet(
         out_dir / "golden_emb_neardup.parquet", index=False
     )

@@ -77,6 +77,45 @@ def run_oracle(transcripts: pd.DataFrame, strategy: str = DEFAULT_STRATEGY
     golden_triples = pd.DataFrame(
         triple_rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
     )
+    # two-phase review goldens: confirmed subset -> selective splice;
+    # highlight segmentation over the full resolved set
+    from ..semantics.review import is_confirmed
+
+    sel_rows, seg_rows = [], []
+    turn_text = {
+        (r.conv_id, int(r.turn_idx)): r.text
+        for r in transcripts.itertuples(index=False)
+        if is_valid_text(r.text)
+    }
+    by_turn_mentions: dict[tuple[str, int], list] = {}
+    for row in mention_rows:
+        by_turn_mentions.setdefault((row[0], row[1]), []).append(row)
+    for key, text in sorted(turn_text.items()):
+        ms = by_turn_mentions.get(key, [])
+        kept = [(m[3], m[4], m[5]) for m in ms if is_confirmed(m[3], m[6])]
+        sel_rows.append((key[0], key[1], splice(text, kept)))
+        if ms:
+            pos, seg = 0, 0
+            for etype, start, end in [(m[3], m[4], m[5]) for m in ms]:
+                if start > pos:
+                    seg_rows.append((key[0], key[1], seg, text[pos:start], None))
+                    seg += 1
+                seg_rows.append((key[0], key[1], seg, text[start:end], etype))
+                seg += 1
+                pos = end
+            if pos < len(text):
+                seg_rows.append((key[0], key[1], seg, text[pos:], None))
+
+    golden_selective = pd.DataFrame(
+        sel_rows, columns=["conv_id", "turn_idx", "anonymized_text"]
+    )
+    golden_segments = pd.DataFrame(
+        seg_rows, columns=["conv_id", "turn_idx", "seg_idx", "chunk", "label"]
+    )
+    golden_selective["turn_idx"] = golden_selective["turn_idx"].astype("int64")
+    golden_segments[["turn_idx", "seg_idx"]] = \
+        golden_segments[["turn_idx", "seg_idx"]].astype("int64")
+
     golden_nodes = canonicalize(golden_mentions)
     ref_map = {
         f"{r.entity_type}:{r.norm_surface}": r.canonical_id
@@ -103,6 +142,8 @@ def run_oracle(transcripts: pd.DataFrame, strategy: str = DEFAULT_STRATEGY
         "golden_triples": golden_triples,
         "golden_nodes": golden_nodes,
         "golden_canonical_triples": golden_canonical_triples,
+        "golden_selective_anonymized": golden_selective,
+        "golden_segments": golden_segments,
     }
 
 
@@ -184,7 +225,7 @@ def canonicalize(mentions: pd.DataFrame) -> pd.DataFrame:
     ).sort_values(["entity_type", "norm_surface"]).reset_index(drop=True)
 
 
-GOLDEN_VERSION = 2  # bump when oracle semantics/outputs change -> cache bust
+GOLDEN_VERSION = 3  # bump when oracle semantics/outputs change -> cache bust
 
 
 def ensure_golden(sf_dir: str, strategy: str = DEFAULT_STRATEGY) -> Path:

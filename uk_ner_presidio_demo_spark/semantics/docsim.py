@@ -107,18 +107,24 @@ def hamming64(a: int, b: int) -> int:
 
 # --- embeddings --------------------------------------------------------------
 
-def cosine_seq(a: list[float], b: list[float]) -> float:
-    """Sequential float64 fold, matching F.aggregate's accumulation order."""
-    dot = 0.0
-    na = 0.0
-    nb = 0.0
-    for x, y in zip(a, b):
-        dot += x * y
-        na += x * x
-        nb += y * y
-    if na == 0.0 or nb == 0.0:
-        return 0.0
-    return dot / (math.sqrt(na) * math.sqrt(nb))
+def cosine_matrix(q, c):
+    """Cosine similarities between row sets, float64 BLAS matmul — the ONE
+    cosine kernel shared by the Spark pandas-UDF operators and the oracle
+    (identical accumulation => bit-identical doubles).  q: (nq, d),
+    c: (nc, d); returns (nc, nq)."""
+    import numpy as np
+
+    q = np.asarray(q, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", q, q))[:, None]
+    cn = np.sqrt(np.einsum("ij,ij->i", c, c))[:, None]
+    qn[qn == 0.0] = 1.0
+    cn[cn == 0.0] = 1.0
+    # einsum (optimize=False) sums the K axis in a fixed sequential order
+    # independent of matrix shape — unlike BLAS gemm/gemv fast paths, whose
+    # accumulation order varies with shape; this keeps engine batches and
+    # the whole-matrix oracle bit-identical.
+    return np.einsum("ij,kj->ik", c / cn, q / qn)
 
 
 _rp_rng = random.Random(RP_SEED)
