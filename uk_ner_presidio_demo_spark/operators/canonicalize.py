@@ -31,7 +31,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_iter: int = 25) -> DataFrame:
     """nodes: (entity_type, norm_surface); edges: (entity_type, src, dst).
     Returns (entity_type, norm_surface, label) with label = min node-id of
-    the component."""
+    the component.
+
+    Singleton bypass (the dominant case at scale): nodes touching no edge
+    ARE their own component — they take label = own id directly and never
+    enter the iterative loop.  Only edge endpoints iterate, which shrinks
+    the per-iteration join/agg by orders of magnitude on real entity
+    universes (most surfaces are unique)."""
     n = nodes.select(
         "entity_type", "norm_surface",
         _node_id("entity_type", "norm_surface").alias("id"),
@@ -45,8 +51,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
 
-    labels = n.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=True
+    endpoints = e_sym.select(F.col("src").alias("id")).distinct()
+    singles = n.join(endpoints, "id", "left_anti").select(
+        "entity_type", "norm_surface", F.col("id").alias("label")
+    )
+
+    labels = (
+        n.join(endpoints, "id", "left_semi")
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -72,10 +85,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         if changed == 0:
             break
 
-    return (
-        n.join(labels, "id")
-        .select("entity_type", "norm_surface", "label")
+    looped = n.join(labels, "id").select(
+        "entity_type", "norm_surface", "label"
     )
+    return looped.unionByName(singles)
 
 
 def canonical_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:

@@ -56,7 +56,11 @@ def link_entities(mentions: DataFrame, aliases: DataFrame
              oracle/reference_oracle.py:canonicalize)
       edges: (entity_type, src, dst) similarity edges (alias + verified LSH)
     """
-    ents = distinct_entities(mentions)
+    # The distinct entity universe is orders of magnitude smaller than the
+    # mention stream; materialize it ONCE (localCheckpoint) so the multiple
+    # downstream consumers (alias match, band rows, node set, CC joins)
+    # never re-run the detection lineage.
+    ents = distinct_entities(mentions).localCheckpoint(eager=True)
 
     # J-1: broadcast alias lookup
     matched = ents.join(
@@ -72,7 +76,7 @@ def link_entities(mentions: DataFrame, aliases: DataFrame
 
     nodes = ents.unionByName(
         matched.select("entity_type", F.col("dst").alias("norm_surface"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
 
     # J-2: LSH banding over the node set
     banded = nodes.withColumn(

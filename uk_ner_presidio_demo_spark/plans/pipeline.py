@@ -99,8 +99,16 @@ class KGPipeline:
         df = build()
         df.write.mode("overwrite").parquet(str(path / "data"))
         out = self.spark.read.parquet(str(path / "data"))
-        rows = out.count()
-        nparts = out.rdd.getNumPartitions()
+        # per-partition lineage counts (A-7 [north-rule]): one cheap job on
+        # the materialized parquet, recorded in the manifest so a resumed
+        # run can audit exactly what each partition contributed
+        ppart = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .orderBy("pid")
+            .collect()
+        )
+        rows = sum(r["count"] for r in ppart)
         wall = round(time.time() - t0, 3)
         man.parent.mkdir(parents=True, exist_ok=True)
         man.write_text(
@@ -109,7 +117,8 @@ class KGPipeline:
                     "stage": stage,
                     "input_fingerprint": fingerprint,
                     "rows": rows,
-                    "partitions": nparts,
+                    "partitions": len(ppart),
+                    "partition_rows": [r["count"] for r in ppart],
                     "wall_sec": wall,
                     "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                  time.gmtime()),
