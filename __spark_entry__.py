@@ -29,9 +29,9 @@ from uk_ner_presidio_demo_spark.sources.tables import read_tpch, read_transcript
 SF001 = "/root/testdata/sf0.01"  # the driver's correctness sf
 
 
-def _golden(name: str, sf_dir: str = SF001) -> str:
+def _golden(name: str, sf_dir: str = SF001, strategy: str = "priority") -> str:
     """Absolute path of a golden parquet for DuckDB's read_parquet."""
-    return str(ensure_golden(sf_dir) / f"{name}.parquet")
+    return str(ensure_golden(sf_dir, strategy) / f"{name}.parquet")
 
 
 def _transcripts_glob(sf_dir: str = SF001) -> str:
@@ -59,6 +59,16 @@ def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-5..O-8, F-3, F-4, U-1, W-1/W-2 fused detection -> mentions table."""
     tr = read_transcripts(spark, sf_dir)
     m = mentions_from_turns(detect_turns(tr, with_anonymized=False))
+    return m.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
+
+def _q_mentions_score_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-1 'score' conflict strategy (the library default,
+    core/analyzer.py:96) — vs the UI's 'priority' used elsewhere."""
+    tr = read_transcripts(spark, sf_dir)
+    m = mentions_from_turns(
+        detect_turns(tr, strategy="score", with_anonymized=False)
+    )
     return m.withColumn("turn_idx", F.col("turn_idx").cast("long"))
 
 
@@ -438,6 +448,73 @@ def _q_tpch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.unionByName(urgent)
 
 
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-4 sessionization: cumulative sum over gap>30min boundaries gives a
+    per-user session id (the classic two-window composition)."""
+    ev = read_tpch(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn(
+            "session_id",
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+def _q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join + grouped revenue + top-k."""
+    c = read_tpch(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_tpch(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = read_tpch(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(20)
+    )
+
+
+def _q_tpch_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-6 conditional aggregates + CASE projection (per-nation urgent share)."""
+    o = read_tpch(spark, sf_dir, "orders")
+    c = read_tpch(spark, sf_dir, "customer")
+    n = read_tpch(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("n_urgent"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "F",
+                           F.col("o_totalprice")).otherwise(0.0)
+                ), 2
+            ).alias("finished_value"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-4 lag window over an event stream: inter-event gap per user."""
     ev = read_tpch(spark, sf_dir, "events")
@@ -454,6 +531,7 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": _q_mentions,
+        "kg_mentions_score_strategy": _q_mentions_score_strategy,
         "kg_anonymized": _q_anonymized,
         "kg_entity_type_counts": _q_entity_type_counts,
         "kg_top_surfaces": _q_top_surfaces,
@@ -489,7 +567,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_anti_join": _q_tpch_anti_join,
         "tpch_window_topk": _q_tpch_window_topk,
         "tpch_union": _q_tpch_union,
+        "tpch_shipping_priority": _q_tpch_shipping_priority,
+        "tpch_conditional_agg": _q_tpch_conditional_agg,
         "events_sessions": _q_events_sessions,
+        "events_sessionize": _q_events_sessionize,
     }
 
 
@@ -682,6 +763,55 @@ def oracle_sql() -> dict[str, str]:
         "kg_anonymized": f"""
             SELECT conv_id, turn_idx, anonymized_text
             FROM read_parquet('{ga}')
+        """,
+        "kg_mentions_score_strategy": f"""
+            SELECT conv_id, turn_idx, mention_idx, entity_type, start,
+                   "end", score, surface, norm_surface
+            FROM read_parquet('{_golden("golden_mentions", strategy="score")}')
+        """,
+        "tpch_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 20
+        """,
+        "tpch_conditional_agg": """
+            SELECT n_name,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                   round(sum(CASE WHEN o_orderstatus = 'F'
+                       THEN o_totalprice ELSE 0.0 END), 2) AS finished_value,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_sessionize": """
+            SELECT event_id, user_id,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT) -
+                               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id
+                               ) > 1800
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
         """,
         "kg_entity_type_counts": f"""
             SELECT entity_type,

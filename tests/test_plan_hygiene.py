@@ -1,0 +1,81 @@
+"""Physical-plan hygiene gates — the 100-TB story, asserted.
+
+These tests freeze the plan properties that matter at scale, so a future
+refactor that silently drops a broadcast, un-pushes a filter, or adds an
+extra Arrow crossing fails CI rather than a cluster run.
+"""
+
+import pytest
+
+import __spark_entry__ as em
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_broadcast_join_is_broadcast(spark, sf01):
+    plan = _plan(em.queries()["tpch_broadcast_join"](spark, sf01))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf01):
+    plan = _plan(em.queries()["tpch_agg"](spark, sf01))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_scan_prunes_columns(spark, sf01):
+    """A 2-column projection must not read all lineitem columns."""
+    plan = _plan(em.queries()["tpch_filter_project"](spark, sf01))
+    assert "o_orderkey" in plan
+    assert "o_custkey" not in plan  # never referenced -> pruned from scan
+
+
+def test_detection_is_single_arrow_crossing(spark, sf01):
+    """Exactly ONE Python stage (MapInPandas) in the mentions plan — the
+    fused-detector invariant (SURVEY.md §4.3)."""
+    plan = _plan(em.queries()["kg_mentions"](spark, sf01))
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
+
+
+def test_detection_stage_is_narrow(spark, sf01):
+    """No shuffle exchange anywhere in the detection plan."""
+    plan = _plan(em.queries()["kg_mentions"](spark, sf01))
+    assert "Exchange" not in plan
+
+
+def test_alias_link_uses_broadcast(spark, sf01):
+    """J-1 must stay a broadcast hash join regardless of stats.  (Inspected
+    on the un-checkpointed join — inside kg_canonical_nodes the alias join
+    sits behind the entity-universe localCheckpoint, invisible to the final
+    plan.)"""
+    from uk_ner_presidio_demo_spark.operators.linking import (
+        alias_match, distinct_entities,
+    )
+    from uk_ner_presidio_demo_spark.sources.tables import read_aliases
+
+    ents = distinct_entities(em.queries()["kg_mentions"](spark, sf01))
+    plan = _plan(alias_match(ents, read_aliases(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_topk_two_phase(spark, sf01):
+    """The salted twin really aggregates in two phases (salt key present
+    in the first aggregate)."""
+    plan = _analyzed(em.queries()["kg_top_surfaces_salted"](spark, sf01))
+    assert "salt" in plan
+    assert "pmod" in plan
+
+
+def test_no_cartesian_products_in_kg_paths(spark, sf01):
+    for name in ("kg_mentions", "kg_triples", "kg_canonical_nodes"):
+        plan = _plan(em.queries()[name](spark, sf01))
+        assert "CartesianProduct" not in plan, name

@@ -48,6 +48,21 @@ def distinct_entities(mentions: DataFrame) -> DataFrame:
     return mentions.select("entity_type", "norm_surface").distinct()
 
 
+def alias_match(ents: DataFrame, aliases: DataFrame) -> DataFrame:
+    """J-1: the broadcast alias lookup — (entity_type, src, dst) edge rows
+    for entities whose normalized surface appears in the dictionary."""
+    return ents.join(
+        F.broadcast(aliases),
+        (ents.norm_surface == aliases.alias_norm)
+        & (ents.entity_type == aliases.entity_type),
+        "inner",
+    ).select(
+        ents.entity_type.alias("entity_type"),
+        ents.norm_surface.alias("src"),
+        aliases.canonical_norm.alias("dst"),
+    )
+
+
 def link_entities(mentions: DataFrame, aliases: DataFrame
                   ) -> tuple[DataFrame, DataFrame]:
     """Returns (nodes, edges):
@@ -63,16 +78,7 @@ def link_entities(mentions: DataFrame, aliases: DataFrame
     ents = distinct_entities(mentions).localCheckpoint(eager=True)
 
     # J-1: broadcast alias lookup
-    matched = ents.join(
-        F.broadcast(aliases),
-        (ents.norm_surface == aliases.alias_norm)
-        & (ents.entity_type == aliases.entity_type),
-        "inner",
-    ).select(
-        ents.entity_type.alias("entity_type"),
-        ents.norm_surface.alias("src"),
-        aliases.canonical_norm.alias("dst"),
-    )
+    matched = alias_match(ents, aliases)
 
     nodes = ents.unionByName(
         matched.select("entity_type", F.col("dst").alias("norm_surface"))

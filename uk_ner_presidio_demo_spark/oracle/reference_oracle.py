@@ -225,13 +225,14 @@ def canonicalize(mentions: pd.DataFrame) -> pd.DataFrame:
     ).sort_values(["entity_type", "norm_surface"]).reset_index(drop=True)
 
 
-GOLDEN_VERSION = 3  # bump when oracle semantics/outputs change -> cache bust
+GOLDEN_VERSION = 4  # bump when oracle semantics/outputs change -> cache bust
 
 
 def ensure_golden(sf_dir: str, strategy: str = DEFAULT_STRATEGY) -> Path:
     """Materialize golden parquet for the sf of `sf_dir` (cached)."""
     key = sf_key_for_dir(sf_dir)
-    out_dir = DATA_ROOT / key
+    out_dir = DATA_ROOT / key if strategy == DEFAULT_STRATEGY \
+        else DATA_ROOT / f"{key}_{strategy}"
     marker = out_dir / f"_GOLDEN_{strategy}_v{GOLDEN_VERSION}_OK"
     if marker.exists():
         return out_dir

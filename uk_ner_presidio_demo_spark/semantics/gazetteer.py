@@ -122,6 +122,12 @@ GAZETTEER: dict[str, tuple[str, float]] = {
     # --- MISC ---
     "ЄДРПОУ": ("MISC", 0.9),
     "ПДВ": ("MISC", 0.85),
+    # Deliberate strategy-divergence anchor: this surface is also a CRYPTO
+    # pattern hit (score 0.4, priority 2).  Under "score" the MISC 0.95
+    # wins; under "priority" CRYPTO (2 < 10) wins — the distributed
+    # restatement of the reference's two-resolver behavioral difference
+    # (utils/conflict_resolution.py:20-125), exercised corpus-wide.
+    "1BvBMSEYstWetqTFn5Au4m4GFg7xJaNVN2": ("MISC", 0.95),
 }
 
 
