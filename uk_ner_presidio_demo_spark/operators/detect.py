@@ -65,14 +65,19 @@ def _detected_schema(with_anonymized: bool) -> T.StructType:
 
 def detect_turns(transcripts: DataFrame, strategy: str = "priority",
                  with_anonymized: bool = True,
-                 tasks_per_core: int = 2) -> DataFrame:
+                 tasks_per_core: int = 2,
+                 ner_enabled: frozenset[str] | None = None,
+                 pattern_enabled: frozenset[str] | None = None) -> DataFrame:
     """transcripts (conv_id, turn_idx, role, text, tool, ts) -> detected
     turns.  Only (conv_id, turn_idx, text, tool) cross the Arrow boundary —
     `role`/`ts` are pruned.  Invalid rows (O-5) are filtered Catalyst-side
     before the boundary; the kernel re-checks the exact Python predicate
     for belt-and-braces parity with the oracle.  Set
     ``with_anonymized=False`` when only mentions are consumed — it skips
-    the splice and shrinks the return payload."""
+    the splice and shrinks the return payload.  ``ner_enabled`` /
+    ``pattern_enabled`` restrict the detected entity-type sets (O-6 —
+    the enabled-set plumbing of core/config.py:64-90); the frozensets ride
+    to executors in the serialized kernel closure (a broadcast)."""
     schema = _detected_schema(with_anonymized)
     cols = [f.name for f in schema.fields]
 
@@ -84,7 +89,11 @@ def detect_turns(transcripts: DataFrame, strategy: str = "priority",
             ):
                 if not is_valid_text(text):
                     continue
-                mentions, errors = detect_mentions(text, strategy=strategy)
+                mentions, errors = detect_mentions(
+                    text, strategy=strategy,
+                    ner_enabled=ner_enabled,
+                    pattern_enabled=pattern_enabled,
+                )
                 compact = [
                     (m.mention_idx, m.entity_type, m.start, m.end, m.score)
                     for m in mentions
