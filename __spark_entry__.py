@@ -293,6 +293,19 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(read_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-bucketed top-k (coarse-quantizer scale path, nprobe=2)."""
+    from uk_ner_presidio_demo_spark.operators.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(read_tpch(spark, sf_dir, "embeddings"))
+
+
+def _q_txt_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_ner_presidio_demo_spark.operators.textstats import token_count_bpe
+
+    return token_count_bpe(read_tpch(spark, sf_dir, "documents"))
+
+
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs."""
     from uk_ner_presidio_demo_spark.operators.similarity import emb_neardup
@@ -552,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_dups": _q_doc_simhash_dups,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "txt_token_count_bpe": _q_txt_token_count_bpe,
         "emb_neardup": _q_emb_neardup,
         "txt_token_count": _q_txt_token_count,
         "txt_lang_id": _q_txt_lang_id,
@@ -648,6 +663,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": f"""
             SELECT query_id, neighbor_id, rank, sim_r6
             FROM read_parquet('{dg}/golden_ann_lsh_topk.parquet')
+        """,
+        "ann_ivf_topk": f"""
+            SELECT query_id, neighbor_id, rank, sim_r6
+            FROM read_parquet('{dg}/golden_ann_ivf_topk.parquet')
+        """,
+        "txt_token_count_bpe": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                        ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "emb_neardup": f"""
             SELECT vec_a, vec_b, cos_r6

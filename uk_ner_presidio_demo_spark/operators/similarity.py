@@ -30,7 +30,10 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from ..semantics.docsim import ANN_K, EMB_NEARDUP_COS, cosine_matrix, rp_bucket
+from ..semantics.docsim import (
+    ANN_K, EMB_NEARDUP_COS, IVF_NPROBE, cosine_matrix, ivf_cell,
+    ivf_probe_cells, rp_bucket,
+)
 
 _SCORED_SCHEMA = T.StructType(
     [
@@ -118,6 +121,62 @@ def ann_topk_lsh(emb: DataFrame, k: int = ANN_K) -> DataFrame:
     qids, qmat = _collect_queries(emb)
     qbuckets = [rp_bucket(list(qmat[i])) for i in range(len(qids))]
     return _topk_scored(emb, qids, qmat, k, qbuckets)
+
+
+def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
+                 nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-bucketed top-k: candidates are assigned to their nearest coarse
+    centroid (inverted file cell); each query probes its `nprobe` nearest
+    cells.  Deterministic seeded centroids stand in for trained k-means —
+    the partition/probe mechanics (the scale path: each cell is a prunable
+    partition of the vector table) are the real thing."""
+
+    def kernel_factory(qids, qmat, probe_sets):
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cids = pdf["vec_id"].to_numpy()
+                cmat = np.array(
+                    [[float(x) for x in v] for v in pdf["embedding"]],
+                    dtype=np.float64,
+                )
+                cells = np.array(
+                    [ivf_cell([float(x) for x in v])
+                     for v in pdf["embedding"]]
+                )
+                sims = cosine_matrix(qmat, cmat)
+                out = []
+                for qi, qid in enumerate(qids):
+                    col = sims[:, qi]
+                    mask = (cids != qid) & np.isin(cells, probe_sets[qi])
+                    idx = np.nonzero(mask)[0]
+                    if not len(idx):
+                        continue
+                    order = np.lexsort((cids[idx], -col[idx]))[:k]
+                    for j in idx[order]:
+                        out.append((qid, int(cids[j]), float(col[j])))
+                yield pd.DataFrame(
+                    out, columns=["query_id", "neighbor_id", "sim"]
+                )
+        return kernel
+
+    qids, qmat = _collect_queries(emb)
+    probe_sets = [np.array(ivf_probe_cells(list(qmat[i]), nprobe))
+                  for i in range(len(qids))]
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        kernel_factory(qids, qmat, probe_sets), _SCORED_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 6).alias("sim_r6"),
+        )
+    )
 
 
 def emb_neardup(emb: DataFrame, threshold: float = EMB_NEARDUP_COS) -> DataFrame:

@@ -32,6 +32,23 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-ish pretokenizer classes, RE2/Java-portable subset: letter runs,
+# digit runs, non-space-non-alnum runs (each with optional leading space).
+BPE_TOKEN_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: counts pretokenizer matches (the
+    length-estimation shape used when a real tokenizer is too costly for
+    a first pass).  Pure Catalyst regexp_extract_all, JVM-side."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Cyrillic/Latin-ratio language heuristic: 'uk' if cyrillic dominates,
     'lat' if latin dominates, 'other' otherwise."""

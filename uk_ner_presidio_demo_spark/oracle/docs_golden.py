@@ -15,7 +15,7 @@ from ..semantics.docsim import (
     simhash64, simhash_segments, hamming64,
 )
 
-DOCS_GOLDEN_VERSION = 3
+DOCS_GOLDEN_VERSION = 4
 
 
 def _sf_key(sf_dir: str) -> str:
@@ -125,6 +125,15 @@ def ensure_docs_golden(sf_dir: str) -> Path:
         topk_rows(lambda qi: buckets == qbuckets[qi]),
         columns=["query_id", "neighbor_id", "rank", "sim_r6"],
     ).to_parquet(out_dir / "golden_ann_lsh_topk.parquet", index=False)
+
+    from ..semantics.docsim import ivf_cell, ivf_probe_cells
+
+    cells = np.array([ivf_cell(by_id[v]) for v in vids])
+    qprobes = [np.array(ivf_probe_cells(by_id[q])) for q in qids]
+    pd.DataFrame(
+        topk_rows(lambda qi: np.isin(cells, qprobes[qi])),
+        columns=["query_id", "neighbor_id", "rank", "sim_r6"],
+    ).to_parquet(out_dir / "golden_ann_ivf_topk.parquet", index=False)
 
     # near-dup: sims of every row against every row, pairs a < b
     full = cosine_matrix(cmat, cmat)  # (nc, nc); [i, j] = dot(c_i_n, c_j_n)

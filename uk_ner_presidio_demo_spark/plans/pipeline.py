@@ -188,6 +188,17 @@ class KGPipeline:
 
     # ---- final graph tables -------------------------------------------------
 
+    def _iceberg_available(self) -> bool:
+        """True when an Iceberg catalog is configured on this session (the
+        runtime jar is not shipped in this sandbox; on a real cluster,
+        spark-submit --packages org.apache.iceberg:iceberg-spark-runtime
+        plus a catalog conf flips this on)."""
+        conf = self.spark.conf
+        try:
+            return bool(conf.get("spark.sql.catalog.kg", None))
+        except Exception:
+            return False
+
     def _materialize(self, canon: DataFrame, ctriples: DataFrame
                      ) -> dict[str, DataFrame]:
         out = Path(self.out_dir)
@@ -195,13 +206,27 @@ class KGPipeline:
             canon.groupBy("entity_type", "canonical_id", "canonical_norm")
             .agg(F.sort_array(F.collect_set("norm_surface")).alias("aliases"))
         )
-        nodes.write.mode("overwrite").partitionBy("entity_type").parquet(
-            str(out / "nodes")
-        )
         edges = ctriples.withColumn(
             "conv_bucket", F.pmod(F.hash("conv_id"), F.lit(N_CONV_BUCKETS))
         ).withColumn(
             "salt", F.pmod(F.hash("obj"), F.lit(N_SALT))
+        )
+        if self._iceberg_available():
+            # The north-rule production layout: Iceberg tables partitioned
+            # by entity-type / pred with a conv_id bucket transform.
+            nodes.writeTo("kg.nodes").partitionedBy("entity_type") \
+                .createOrReplace()
+            edges.writeTo("kg.edges").partitionedBy(
+                "pred", F.bucket(N_CONV_BUCKETS, "conv_id")
+            ).createOrReplace()
+            return {
+                "nodes": self.spark.table("kg.nodes"),
+                "edges": self.spark.table("kg.edges"),
+            }
+        # dev fallback: the parquet-layout equivalent (hive-style partition
+        # dirs + precomputed conv_bucket column)
+        nodes.write.mode("overwrite").partitionBy("entity_type").parquet(
+            str(out / "nodes")
         )
         edges.write.mode("overwrite").partitionBy("pred").parquet(
             str(out / "edges")

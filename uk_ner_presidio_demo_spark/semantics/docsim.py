@@ -132,6 +132,32 @@ RP_PLANES: list[list[float]] = [
     [_rp_rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)] for _ in range(RP_K)
 ]
 
+# IVF coarse quantizer: seeded random centroids (deterministic; real systems
+# train them with k-means — the assignment/probe mechanics are identical).
+IVF_K = 8           # coarse centroids
+IVF_NPROBE = 2      # probe the nearest N cells per query
+_ivf_rng = random.Random(RP_SEED + 1)
+IVF_CENTROIDS: list[list[float]] = [
+    [_ivf_rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)] for _ in range(IVF_K)
+]
+
+
+def ivf_cell(vec) -> int:
+    """Nearest-centroid assignment by cosine (shared kernel semantics)."""
+    import numpy as np
+
+    sims = cosine_matrix(np.asarray(IVF_CENTROIDS, dtype=float),
+                         np.asarray([vec], dtype=float))[0]
+    return int(np.lexsort((list(range(IVF_K)), -sims))[0])
+
+
+def ivf_probe_cells(vec, nprobe: int = IVF_NPROBE) -> list[int]:
+    import numpy as np
+
+    sims = cosine_matrix(np.asarray(IVF_CENTROIDS, dtype=float),
+                         np.asarray([vec], dtype=float))[0]
+    return [int(i) for i in np.lexsort((list(range(IVF_K)), -sims))[:nprobe]]
+
 
 def rp_bucket(vec: list[float]) -> int:
     """Random-hyperplane LSH bucket id (sign bits, sequential fold)."""
