@@ -136,6 +136,36 @@ def _q_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_counts(_q_triples(spark, sf_dir))
 
 
+def _q_triple_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-5 scoring harness: ENGINE triples full-outer-joined against the
+    reference-oracle golden triples on (conv_id, turn_idx, subj, pred, obj)
+    -> one row of counts + precision/recall.  The BASELINE gate is
+    P/R >= 0.95; the design target (shared semantics) is exactly 1.0 —
+    which is also the only value that matches the oracle's self-comparison,
+    so the driver's hash check IS the P/R gate."""
+    engine = _q_triples(spark, sf_dir)
+    golden = spark.read.parquet(_golden("golden_triples", sf_dir))
+    keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    e = engine.select(*keys).withColumn("in_e", F.lit(1))
+    g = golden.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "subj", "pred", "obj",
+    ).withColumn("in_g", F.lit(1))
+    j = e.join(g, keys, "full_outer")
+    return j.agg(
+        F.sum(F.coalesce("in_e", F.lit(0))).alias("n_engine"),
+        F.sum(F.coalesce("in_g", F.lit(0))).alias("n_golden"),
+        F.sum(
+            F.when(F.col("in_e").isNotNull() & F.col("in_g").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("tp"),
+    ).select(
+        "n_engine", "n_golden", "tp",
+        F.round(F.col("tp") / F.col("n_engine"), 6).alias("precision"),
+        F.round(F.col("tp") / F.col("n_golden"), 6).alias("recall"),
+    )
+
+
 def _q_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-1 broadcast alias link + J-2 MinHash/LSH blocking + J-3 iterative
     connected components -> stable canonical ids (F-9)."""
@@ -557,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_highlight_segments": _q_highlight_segments,
         "kg_triples": _q_triples,
         "kg_triple_counts": _q_triple_counts,
+        "kg_triple_pr": _q_triple_pr,
         "kg_canonical_nodes": _q_canonical_nodes,
         "kg_canonical_triples": _q_canonical_triples,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -772,6 +803,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_triple_counts": f"""
             SELECT pred, count(*) AS n_triples
             FROM read_parquet('{gt}') GROUP BY pred
+        """,
+        "kg_triple_pr": f"""
+            SELECT count(*) AS n_engine, count(*) AS n_golden,
+                   count(*) AS tp,
+                   CAST(1.0 AS DOUBLE) AS precision,
+                   CAST(1.0 AS DOUBLE) AS recall
+            FROM read_parquet('{gt}')
         """,
         "kg_canonical_nodes": f"""
             SELECT entity_type, norm_surface, canonical_norm, canonical_id
