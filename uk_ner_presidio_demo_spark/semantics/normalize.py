@@ -8,7 +8,10 @@ gazetteer + fuzz corpus.
 
 Rule (frozen):
   1. lowercase
-  2. apostrophe family {' ’ ` ´ ʼ «»"„“”} and any non-(letter|digit) run -> single space
+  2. any run of non-(letter|digit) chars — punctuation, apostrophe family,
+     whitespace, underscores — collapses to a single space (one character
+     class, NOT an alternation: `[^\\w]+|_+` failed idempotency on mixed
+     underscore+punct runs, found by hypothesis)
   3. trim
 """
 
@@ -16,7 +19,7 @@ from __future__ import annotations
 
 import re
 
-_NON_ALNUM = re.compile(r"[^\w]+|_+", re.UNICODE)
+_NON_ALNUM = re.compile(r"[\W_]+", re.UNICODE)
 
 
 def norm_surface(s: str) -> str:
@@ -30,4 +33,4 @@ def norm_surface_expr(col):
 
     # \W in Java regex with UNICODE_CHARACTER_CLASS matches the same class as
     # Python's [^\w]; Spark's regexp_replace compiles with (?U) when given.
-    return F.trim(F.regexp_replace(F.lower(col), r"(?U)[^\w]+|_+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), r"(?U)[\W_]+", " "))

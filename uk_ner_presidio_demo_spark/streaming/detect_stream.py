@@ -94,6 +94,53 @@ def windowed_entity_counts(mentions_stream: DataFrame,
     )
 
 
+CONV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("total_mentions", T.LongType()),
+        T.StructField("n_person", T.LongType()),
+    ]
+)
+
+_CONV_STATE_STATE = T.StructType(
+    [
+        T.StructField("total", T.LongType()),
+        T.StructField("persons", T.LongType()),
+    ]
+)
+
+
+def conversation_state_stream(mentions_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): a running
+    per-conversation mention counter that survives micro-batch boundaries —
+    the arbitrary-state shape (GroupState) the built-in windowed aggs can't
+    express.  Emits the updated running totals for every conversation
+    touched by each micro-batch ("update" semantics)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        total, persons = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += len(pdf)
+            persons += int((pdf["entity_type"] == "PERS").sum())
+        state.update((total, persons))
+        yield pd.DataFrame(
+            [(key[0], total, persons)],
+            columns=["conv_id", "total_mentions", "n_person"],
+        )
+
+    return (
+        mentions_stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CONV_STATE_SCHEMA,
+            stateStructType=_CONV_STATE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(df: DataFrame, query_name: str,
                       checkpoint_dir: str, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow trigger)
