@@ -108,9 +108,15 @@ def canonical_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def canonical_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
+def canonical_triples(triples: DataFrame, canon: DataFrame,
+                      broadcast_refs: bool = True) -> DataFrame:
     """Rewrite triple subj/obj entity refs ("TYPE:norm") to canonical ids
-    (stage 8 input).  conv:/tool: refs pass through unchanged."""
+    (stage 8 input).  conv:/tool: refs pass through unchanged.
+
+    `broadcast_refs`: the entity-ref dictionary is usually tiny relative to
+    the triple stream, so it broadcasts by default; at entity universes
+    beyond broadcast size (~1 GB; SCALE.md delta table) pass False and the
+    rewrite becomes two shuffle joins that AQE plans."""
     ref_map = canon.select(
         F.concat_ws(":", "entity_type", "norm_surface").alias("ref"),
         "canonical_id",
@@ -120,8 +126,9 @@ def canonical_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
         rm = ref_map.withColumnRenamed("ref", f"{col}_ref").withColumnRenamed(
             "canonical_id", f"{col}_canon"
         )
+        side = F.broadcast(rm) if broadcast_refs else rm
         t = t.join(
-            F.broadcast(rm), t[col] == rm[f"{col}_ref"], "left"
+            side, t[col] == rm[f"{col}_ref"], "left"
         ).withColumn(
             col, F.coalesce(F.col(f"{col}_canon"), F.col(col))
         ).drop(f"{col}_ref", f"{col}_canon")
