@@ -375,10 +375,24 @@ def _read_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract over binary payloads (Arrow-batched
-    UDF; deterministic stub decoder — see operators/multimodal.py)."""
+    UDF; deterministic stub decoder — see operators/multimodal.py).
+
+    Output is long format (media_id, media_type, dim_idx, feat_val): the
+    driver's comparator canonicalizes via pandas sort_values, where an
+    array<double> column is unhashable (VERDICT r1).  posexplode is JVM-side
+    and keeps the single Arrow crossing inside decode_features."""
     from uk_ner_presidio_demo_spark.operators.multimodal import decode_features
 
-    return decode_features(_read_media(spark, sf_dir))
+    return decode_features(_read_media(spark, sf_dir)).select(
+        "media_id",
+        "media_type",
+        F.posexplode("feat").alias("dim_idx", "feat_val"),
+    ).select(
+        "media_id",
+        "media_type",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        "feat_val",
+    )
 
 
 def _q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,7 +657,8 @@ def oracle_sql() -> dict[str, str]:
     media_pq = str(ensure_media(SF001))
     return {
         "mm_decode_features": f"""
-            SELECT media_id, media_type, feat
+            SELECT media_id, media_type,
+                   CAST(dim_idx AS BIGINT) AS dim_idx, feat_val
             FROM read_parquet('{mg}/golden_media_features.parquet')
         """,
         "mm_resize_plan": f"""
@@ -895,12 +910,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_valid_turn_stats": f"""
             SELECT role,
                    count(*) AS n_turns,
-                   sum(CASE WHEN text IS NOT NULL AND length(text) <= 100000
+                   CAST(sum(CASE WHEN text IS NOT NULL AND length(text) <= 100000
                             AND regexp_matches(text, '\\S')
-                       THEN 1 ELSE 0 END) AS n_valid,
-                   sum(CASE WHEN text IS NOT NULL AND length(text) <= 100000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN text IS NOT NULL AND length(text) <= 100000
                             AND regexp_matches(text, '\\S')
-                       THEN length(text) ELSE 0 END) AS valid_chars
+                       THEN length(text) ELSE 0 END) AS BIGINT) AS valid_chars
             FROM read_parquet('{tg}')
             GROUP BY role
         """,
