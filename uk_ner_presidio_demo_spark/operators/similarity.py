@@ -179,11 +179,90 @@ def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
     )
 
 
+_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("tbl", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+
+
+def _emb_block_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) LSH block keys — one narrow mapInPandas pass,
+    NEARDUP_RP_TABLES rows out per vector."""
+    from ..semantics.docsim import emb_block_keys
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                for tbl, bucket in emb_block_keys([float(x) for x in vec]):
+                    rows.append((int(vec_id), tbl, bucket))
+            yield pd.DataFrame(rows, columns=["vec_id", "tbl", "bucket"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(kernel, _BLOCK_SCHEMA)
+
+
+def emb_neardup_lsh(emb: DataFrame,
+                    threshold: float = EMB_NEARDUP_COS) -> DataFrame:
+    """Embedding near-dup, the 100-TB path: multi-table hyperplane-LSH
+    blocking (equi-join on (tbl, bucket) — the MinHash-band analog for
+    vectors) + exact-cosine verify on candidates only.  Nothing collects to
+    the driver; candidate generation is a shuffle join, verification is one
+    Arrow pass with a row-wise einsum (semantics.docsim.cosine_pairs,
+    shared with the oracle for bit-identical doubles)."""
+    blocks = _emb_block_rows(emb)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..semantics.docsim import cosine_pairs
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            amat = np.array([[float(x) for x in v] for v in pdf["emb_a"]],
+                            dtype=np.float64)
+            bmat = np.array([[float(x) for x in v] for v in pdf["emb_b"]],
+                            dtype=np.float64)
+            cos = cosine_pairs(amat, bmat)
+            out = pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].astype("int64").to_numpy(),
+                    "vec_b": pdf["vec_b"].astype("int64").to_numpy(),
+                    "cos": cos,
+                }
+            )
+            yield out[out["cos"] >= threshold]
+
+    verified = pairs.mapInPandas(verify, "vec_a long, vec_b long, cos double")
+    return verified.select("vec_a", "vec_b",
+                           F.round("cos", 6).alias("cos_r6"))
+
+
 def emb_neardup(emb: DataFrame, threshold: float = EMB_NEARDUP_COS) -> DataFrame:
-    """All-pairs cosine >= threshold (quadratic correctness baseline; the
-    production path LSH-blocks candidates first).  The full vector matrix
-    rides in the UDF closure; each Arrow batch scores its rows against all
-    vectors with one matmul and emits (a < b) qualifying pairs."""
+    """All-pairs cosine >= threshold (QUADRATIC correctness baseline kept as
+    a pytest fixture; the production path is `emb_neardup_lsh`).  The full
+    vector matrix rides in the UDF closure; each Arrow batch scores its rows
+    against all vectors with one matmul and emits (a < b) qualifying pairs."""
     rows = emb.select("vec_id", "embedding").collect()
     rows.sort(key=lambda r: r.vec_id)
     all_ids = np.array([int(r.vec_id) for r in rows])

@@ -11,11 +11,11 @@ import pandas as pd
 from ..data.synth import DATA_ROOT
 from ..semantics.docsim import (
     ANN_K, DOC_JACCARD_THRESHOLD, EMB_NEARDUP_COS, SIMHASH_MAX_HAMMING,
-    cosine_matrix, doc_band_keys, doc_jaccard, doc_minhash, rp_bucket,
-    simhash64, simhash_segments, hamming64,
+    cosine_matrix, cosine_pairs, doc_band_keys, doc_jaccard, doc_minhash,
+    emb_block_keys, rp_bucket, simhash64, simhash_segments, hamming64,
 )
 
-DOCS_GOLDEN_VERSION = 4
+DOCS_GOLDEN_VERSION = 5
 
 
 def _sf_key(sf_dir: str) -> str:
@@ -135,15 +135,44 @@ def ensure_docs_golden(sf_dir: str) -> Path:
         columns=["query_id", "neighbor_id", "rank", "sim_r6"],
     ).to_parquet(out_dir / "golden_ann_ivf_topk.parquet", index=False)
 
-    # near-dup: sims of every row against every row, pairs a < b
+    # near-dup (driver oracle): multi-table hyperplane-LSH blocking + exact
+    # cosine verify — the scale-safe semantics shipped in queries()
+    nd_buckets: dict[tuple[int, int], list[int]] = {}
+    for v in vids:
+        for bk in emb_block_keys(by_id[v]):
+            nd_buckets.setdefault(bk, []).append(v)
+    nd_cand = set()
+    for members in nd_buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                nd_cand.add((ms[i], ms[j]))
+    nd_pairs = sorted(nd_cand)
+    if nd_pairs:
+        amat = np.array([by_id[a] for a, _ in nd_pairs], dtype=np.float64)
+        bmat = np.array([by_id[b] for _, b in nd_pairs], dtype=np.float64)
+        cos = cosine_pairs(amat, bmat)
+        nd_rows = [
+            (a, b, round(float(c), 6))
+            for (a, b), c in zip(nd_pairs, cos)
+            if c >= EMB_NEARDUP_COS
+        ]
+    else:
+        nd_rows = []
+    pd.DataFrame(nd_rows, columns=["vec_a", "vec_b", "cos_r6"]).to_parquet(
+        out_dir / "golden_emb_neardup.parquet", index=False
+    )
+
+    # near-dup all-pairs twin (quadratic correctness fixture for pytest —
+    # NOT the driver oracle)
     full = cosine_matrix(cmat, cmat)  # (nc, nc); [i, j] = dot(c_i_n, c_j_n)
-    nd_rows = []
+    ap_rows = []
     for i in range(len(vids)):
         hits = np.nonzero((full[i] >= EMB_NEARDUP_COS) & (cids > cids[i]))[0]
         for j in hits:
-            nd_rows.append((vids[i], int(cids[j]), round(float(full[i, j]), 6)))
-    pd.DataFrame(nd_rows, columns=["vec_a", "vec_b", "cos_r6"]).to_parquet(
-        out_dir / "golden_emb_neardup.parquet", index=False
+            ap_rows.append((vids[i], int(cids[j]), round(float(full[i, j]), 6)))
+    pd.DataFrame(ap_rows, columns=["vec_a", "vec_b", "cos_r6"]).to_parquet(
+        out_dir / "golden_emb_neardup_allpairs.parquet", index=False
     )
 
     marker.write_text("ok")

@@ -169,3 +169,54 @@ def rp_bucket(vec: list[float]) -> int:
         if dot >= 0.0:
             out |= 1 << i
     return out
+
+
+# --- embedding near-dup blocking (multi-table hyperplane LSH) -----------------
+# The MinHash-band analog for vectors: L independent hyperplane tables; a
+# pair is a candidate iff it collides in >=1 table, then exact cosine
+# verifies.  TABLES/BITS are tuned to the synthetic data's weakly-planted
+# dups (cos ~0.47, threshold 0.45): measured 12/14 recall at 28% candidate
+# fraction.  Production near-dups (cos >= 0.9) would use more bits per
+# table — recall at p=0.97 per plane stays ~1.0 while candidates collapse.
+
+NEARDUP_RP_TABLES = 10
+NEARDUP_RP_BITS = 5
+_nd_rng = random.Random(RP_SEED + 2)
+NEARDUP_PLANES: list[list[list[float]]] = [
+    [[_nd_rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)]
+     for _ in range(NEARDUP_RP_BITS)]
+    for _ in range(NEARDUP_RP_TABLES)
+]
+
+
+def emb_block_keys(vec) -> list[tuple[int, int]]:
+    """(table, bucket) LSH block keys for one vector — shared verbatim by
+    the Spark blocking kernel and the golden oracle (sequential-fold dots,
+    so sign bits are bit-identical on both sides)."""
+    out = []
+    for t, planes in enumerate(NEARDUP_PLANES):
+        bucket = 0
+        for i, plane in enumerate(planes):
+            dot = 0.0
+            for x, p in zip(vec, plane):
+                dot += x * p
+            if dot >= 0.0:
+                bucket |= 1 << i
+        out.append((t, bucket))
+    return out
+
+
+def cosine_pairs(a, b):
+    """Row-wise cosine between paired rows (a[i] vs b[i]) — same
+    normalize + fixed-order einsum discipline as cosine_matrix, shared by
+    the engine's verify kernel and the oracle so doubles are bit-identical
+    regardless of batch boundaries."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    an = np.sqrt(np.einsum("ij,ij->i", a, a))[:, None]
+    bn = np.sqrt(np.einsum("ij,ij->i", b, b))[:, None]
+    an[an == 0.0] = 1.0
+    bn[bn == 0.0] = 1.0
+    return np.einsum("ij,ij->i", a / an, b / bn)
