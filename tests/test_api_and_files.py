@@ -120,8 +120,83 @@ class TestFileSources:
         got = m[(m.conv_id == row.conv_id) & (m.turn_idx == row.turn_idx)]
         assert len(got) == len(want)
 
-    def test_docx_stub_raises_not_implemented(self, spark, tmp_path):
+    def test_cp1251_fallback_matches_utf8_twin(self, spark, tmp_path):
+        """O-1 encoding cascade: the same Ukrainian text written as cp1251
+        and as UTF-8 must ingest to identical strings (reference
+        file_handlers.py:107-183)."""
+        from uk_ner_presidio_demo_spark.sources.files import read_text_files
+
+        text = "Іван Петренко живе у Києві. Телефон: +380501234567."
+        (tmp_path / "utf8.txt").write_bytes(text.encode("utf-8"))
+        (tmp_path / "legacy.txt").write_bytes(text.encode("cp1251"))
+        rows = {
+            r["conv_id"]: r["text"]
+            for r in read_text_files(spark, str(tmp_path)).collect()
+        }
+        assert rows["legacy.txt"] == rows["utf8.txt"] == text
+
+    @staticmethod
+    def _write_docx(path, paragraphs):
+        import zipfile
+
+        ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        body = "".join(
+            f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs
+        )
+        doc = (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<w:document xmlns:w="{ns}"><w:body>{body}</w:body>'
+            f"</w:document>"
+        )
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr(
+                "[Content_Types].xml",
+                '<?xml version="1.0"?><Types xmlns="http://schemas.'
+                'openxmlformats.org/package/2006/content-types"/>',
+            )
+            zf.writestr("word/document.xml", doc)
+
+    def test_docx_ingest_roundtrips_through_detect(self, spark, tmp_path):
+        """O-2: stdlib zip+XML DOCX parse — paragraphs stripped, empties
+        dropped, joined '\\n\\n' (reference file_handlers.py:185-223) —
+        then straight through the detection DAG."""
+        from uk_ner_presidio_demo_spark.operators.detect import (
+            detect_turns, mentions_from_turns,
+        )
         from uk_ner_presidio_demo_spark.sources.files import read_docx_files
 
-        with pytest.raises(NotImplementedError):
-            read_docx_files(spark, str(tmp_path))
+        self._write_docx(
+            tmp_path / "report.docx",
+            ["Іван Петренко працює в Києві.", "", "  ",
+             "Email: test@example.com"],
+        )
+        df = read_docx_files(spark, str(tmp_path))
+        rows = df.collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == (
+            "Іван Петренко працює в Києві.\n\nEmail: test@example.com"
+        )
+        m = mentions_from_turns(detect_turns(df)).toPandas()
+        assert {"PERS", "LOC", "EMAIL_ADDRESS"} <= set(m["entity_type"])
+
+    def test_mixed_directory_dispatch(self, spark, tmp_path):
+        """O-3: extension dispatch over a mixed directory; unsupported
+        extensions never enter the scan (glob-filtered)."""
+        from uk_ner_presidio_demo_spark.sources.files import read_documents
+
+        (tmp_path / "a.txt").write_text("Київ", encoding="utf-8")
+        self._write_docx(tmp_path / "b.docx", ["Львів"])
+        (tmp_path / "c.pdf").write_bytes(b"%PDF-1.4 not supported")
+        got = {
+            r["conv_id"]: r["text"]
+            for r in read_documents(spark, str(tmp_path)).collect()
+        }
+        assert got == {"a.txt": "Київ", "b.docx": "Львів"}
+
+    def test_unsupported_extension_raises(self):
+        from uk_ner_presidio_demo_spark.sources.files import (
+            parse_document_bytes,
+        )
+
+        with pytest.raises(ValueError, match="unsupported"):
+            parse_document_bytes("x.pdf", b"")

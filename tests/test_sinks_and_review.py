@@ -45,6 +45,57 @@ def test_report_and_run_dir(tmp_path):
     assert "entity_type=PERS" in txt and "# Analysis report" in txt
 
 
+def test_render_anonymized_md_shape():
+    """Mirrors the reference's test_export_markdown assertions
+    (test/test_file_io.py:266-277): title + fenced metadata block."""
+    from uk_ner_presidio_demo_spark.sources.sinks import render_anonymized_md
+
+    md = render_anonymized_md("Текст з <PERS>.", {"Дата": "2026-08-16"})
+    assert "# Анонімізований документ" in md
+    assert "```" in md
+    assert md.rstrip().endswith("Текст з <PERS>.")
+    # without metadata: just the text (include_metadata=False branch)
+    assert render_anonymized_md("x") == "x"
+
+
+def test_render_report_md_groups_and_sorts():
+    from uk_ner_presidio_demo_spark.sources.sinks import render_report_md
+
+    ents = [
+        {"entity_type": "PERS", "surface": "Іван", "start": 10, "end": 14,
+         "score": 0.95},
+        {"entity_type": "PERS", "surface": "Олег", "start": 0, "end": 4,
+         "score": 0.9},
+        {"entity_type": "LOC", "surface": "Київ", "start": 20, "end": 24,
+         "score": 1.0},
+    ]
+    md = render_report_md("Олег ... Іван ... Київ", ents)
+    assert "# Звіт про деідентифікацію" in md
+    assert "| Показник | Значення |" in md
+    # grouped by type, sorted; within type numbered by start position
+    assert md.index("### LOC (1 знайдено)") < md.index(
+        "### PERS (2 знайдено)")
+    assert md.index("1. **'Олег'**") < md.index("2. **'Іван'**")
+    assert "впевненість 95%" in md
+    # empty-entities branch
+    assert "✓ Персональних даних не виявлено" in render_report_md("t", [])
+
+
+def test_write_reports_md_distributed(spark, sf001, tmp_path):
+    from uk_ner_presidio_demo_spark.operators.detect import anonymized_turns
+    from uk_ner_presidio_demo_spark.sources.sinks import write_reports_md
+
+    det = detect_turns(read_transcripts(spark, sf001).limit(200))
+    m = mentions_from_turns(det)
+    a = anonymized_turns(det)
+    out = str(tmp_path / "reports_md")
+    write_reports_md(m, a, out)
+    back = spark.read.json(out)
+    assert back.count() == a.select("conv_id").distinct().count()
+    one = back.filter("report_md LIKE '%### %'").first()
+    assert one is not None and "## Анонімізований текст" in one["report_md"]
+
+
 def test_selective_anonymize_identity_when_nothing_confirmed(spark, sf001):
     """Zero confirmed spans => selective rewrite is the identity (the
     reference's empty-result behavior, test_analyzer.py:88-102)."""
