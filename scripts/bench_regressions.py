@@ -1,0 +1,72 @@
+"""Round-over-round bench regression guard (VERDICT r1 #8).
+
+Compares the two most recent BENCH_r*.json files (or two paths given on the
+command line) per query and flags anything slower than REGRESSION_FACTOR x
+the previous round.  Exit code 1 when a regression is flagged, so the
+verify flow can gate on it.  Host caveat: this box drifts +-20%
+minute-to-minute, so the threshold is deliberately loose (1.3x) — it
+catches plan regressions (a lost broadcast, an extra shuffle), not noise.
+
+Usage:
+    python scripts/bench_regressions.py            # latest two BENCH_r*.json
+    python scripts/bench_regressions.py OLD NEW    # explicit files
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REGRESSION_FACTOR = 1.3
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _latest_two() -> tuple[Path, Path] | None:
+    rounds = sorted(
+        REPO.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if len(rounds) < 2:
+        return None
+    return rounds[-2], rounds[-1]
+
+
+def main() -> int:
+    if len(sys.argv) == 3:
+        old_p, new_p = Path(sys.argv[1]), Path(sys.argv[2])
+    else:
+        pair = _latest_two()
+        if pair is None:
+            print("bench-regressions: fewer than two BENCH_r*.json — skip")
+            return 0
+        old_p, new_p = pair
+    old = json.loads(old_p.read_text())
+    new = json.loads(new_p.read_text())
+    oldq, newq = old.get("queries", {}), new.get("queries", {})
+    flagged, improved = [], []
+    for name, t_new in sorted(newq.items()):
+        t_old = oldq.get(name)
+        if t_old is None or t_old <= 0:
+            continue
+        ratio = t_new / t_old
+        if ratio > REGRESSION_FACTOR:
+            flagged.append((name, t_old, t_new, ratio))
+        elif ratio < 1 / REGRESSION_FACTOR:
+            improved.append((name, t_old, t_new, ratio))
+    print(
+        f"bench-regressions: {old_p.name} -> {new_p.name} "
+        f"(total {old.get('value')}s -> {new.get('value')}s)"
+    )
+    for name, a, b, r in flagged:
+        print(f"  REGRESSION {name}: {a}s -> {b}s ({r:.2f}x)")
+    for name, a, b, r in improved:
+        print(f"  improved   {name}: {a}s -> {b}s ({r:.2f}x)")
+    if not flagged:
+        print(f"  no per-query regression > {REGRESSION_FACTOR}x")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -107,3 +107,90 @@ class TestMinhashProperties:
         a = band_keys(minhash_signature(s))
         b = band_keys(minhash_signature(s))
         assert a == b
+
+
+# Texts biased toward pattern-shaped content so the anchored batch scanner
+# gets exercised on near-miss and boundary forms, not just random noise.
+_patternish = st.one_of(
+    _text,
+    st.from_regex(r"(\+?380[0-9]{7,11}|0[0-9]{8,11}|\+[0-9]{5,17})",
+                  fullmatch=True),
+    st.from_regex(r"[0-9]{1,4}([ -]?[0-9]{4}){2,4}", fullmatch=True),
+    st.from_regex(r"[0-9]{1,4}(\.[0-9]{1,4}){2,4}", fullmatch=True),
+    st.from_regex(r"[0-9]{1,3}[./:-][0-9]{1,3}([./:-][0-9]{1,5})?",
+                  fullmatch=True),
+    st.from_regex(r"UA[0-9]{20,30}", fullmatch=True),
+    st.from_regex(r"[A-Za-z0-9._%+-]{0,8}@{1,2}[A-Za-z0-9.-]{0,8}"
+                  r"(\.[A-Za-z]{1,4})?", fullmatch=True),
+    st.from_regex(r"(https?://|www\.|ftp://)[^ ]{0,12}", fullmatch=True),
+    st.sampled_from(["рахунок UA" + "1" * 27, "Іван Петренко у Києві",
+                     "оплата на UA" + "9" * 27, "<", "a<b", "1<2", "+<3"]),
+)
+
+
+class TestBatchDetectionEquivalence:
+    """detect_mentions_batch is the engine hot path; it MUST be
+    extensionally identical to the per-text detect_mentions (which the
+    plain-Python oracle uses).  This is the tripwire for the anchored
+    candidate generators in semantics/patterns.py — if a PATTERN_SPECS
+    regex changes without re-deriving its anchors, this fails."""
+
+    @given(st.lists(_patternish, min_size=0, max_size=8))
+    @settings(max_examples=300, deadline=None)
+    def test_batch_equals_per_text(self, texts):
+        from uk_ner_presidio_demo_spark.semantics.detect import (
+            detect_mentions_batch,
+        )
+
+        batch = detect_mentions_batch(texts)
+        for t, got in zip(texts, batch):
+            assert got == detect_mentions(t)
+
+    @given(st.lists(st.text(alphabet="013+8<@.:/- UAwwwhttp", min_size=0,
+                            max_size=30), min_size=1, max_size=6))
+    @settings(max_examples=300, deadline=None)
+    def test_batch_equals_per_text_adversarial_alphabet(self, texts):
+        """Dense in anchor literals and the separator char itself."""
+        from uk_ner_presidio_demo_spark.semantics.detect import (
+            detect_mentions_batch,
+        )
+
+        batch = detect_mentions_batch(texts)
+        for t, got in zip(texts, batch):
+            assert got == detect_mentions(t)
+
+    @given(st.lists(_patternish, min_size=1, max_size=5),
+           st.sampled_from(["score", "priority"]))
+    @settings(max_examples=100, deadline=None)
+    def test_batch_respects_strategy_and_enabled_sets(self, texts, strategy):
+        from uk_ner_presidio_demo_spark.semantics.detect import (
+            detect_mentions_batch,
+        )
+
+        enabled = frozenset({"EMAIL_ADDRESS", "PHONE_NUMBER", "DATE_TIME"})
+        batch = detect_mentions_batch(
+            texts, strategy=strategy, ner_enabled=frozenset(),
+            pattern_enabled=enabled,
+        )
+        for t, got in zip(texts, batch):
+            assert got == detect_mentions(
+                t, strategy=strategy, ner_enabled=frozenset(),
+                pattern_enabled=enabled,
+            )
+
+
+def test_batch_family_isolation_u2(monkeypatch):
+    """U-2 in the batch path: a poisoned family falls back per-text and
+    flags ONLY itself; the other family's spans survive."""
+    from uk_ner_presidio_demo_spark.semantics import detect as dmod
+
+    def boom(*a, **k):
+        raise RuntimeError("poisoned")
+
+    monkeypatch.setattr(dmod, "find_ner_spans_batch", boom)
+    monkeypatch.setattr(dmod, "find_ner_spans", boom)
+    out = dmod.detect_mentions_batch(["Київ, тел +380501234567"])
+    mentions, errors = out[0]
+    assert errors == 1  # bit 0: NER family failed
+    types = {m.entity_type for m in mentions}
+    assert "PHONE_NUMBER" in types and "LOC" not in types

@@ -22,9 +22,9 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from .gazetteer import find_ner_spans
+from .gazetteer import find_ner_spans, find_ner_spans_batch
 from .normalize import norm_surface
-from .patterns import find_pattern_spans
+from .patterns import find_pattern_spans, find_pattern_spans_batch
 from .resolution import resolve_conflicts, sanitize_spans
 
 
@@ -79,3 +79,68 @@ def detect_mentions(
         for i, (etype, s, e, score) in enumerate(resolved, 1)
     ]
     return mentions, errors
+
+
+def detect_mentions_batch(
+    texts: list[str],
+    strategy: str = "priority",
+    ner_enabled: frozenset[str] | None = None,
+    pattern_enabled: frozenset[str] | None = None,
+) -> list[tuple[list[Mention], int]]:
+    """Batch twin of detect_mentions — IDENTICAL per-text outputs (the
+    engine's hot path; equality with the per-text form is property-tested).
+
+    Each recognizer family scans the whole batch with one compiled-regex
+    pass (find_*_spans_batch) instead of one pass per text — the per-call
+    finditer overhead was ~65% of kernel time.  U-2 isolation is preserved:
+    if a family's batch scan throws, that family falls back to per-text
+    scanning so a poisoned row flags only itself (same bitflags as
+    detect_mentions)."""
+    n = len(texts)
+    raws: list[list[tuple[str, int, int, float]]] = [[] for _ in range(n)]
+    errs = [0] * n
+    if ner_enabled is None or ner_enabled:
+        try:
+            ner_lists = find_ner_spans_batch(texts, ner_enabled)
+        except Exception:
+            ner_lists = []
+            for i, t in enumerate(texts):
+                try:
+                    ner_lists.append(find_ner_spans(t, ner_enabled))
+                except Exception:
+                    ner_lists.append([])
+                    errs[i] |= 1
+        for i, spans in enumerate(ner_lists):
+            raws[i].extend(spans)
+    if pattern_enabled is None or pattern_enabled:
+        try:
+            pat_lists = find_pattern_spans_batch(texts, pattern_enabled)
+        except Exception:
+            pat_lists = []
+            for i, t in enumerate(texts):
+                try:
+                    pat_lists.append(find_pattern_spans(t, pattern_enabled))
+                except Exception:
+                    pat_lists.append([])
+                    errs[i] |= 2
+        for i, spans in enumerate(pat_lists):
+            raws[i].extend(spans)
+
+    results: list[tuple[list[Mention], int]] = []
+    for i, text in enumerate(texts):
+        resolved = resolve_conflicts(sanitize_spans(len(text), raws[i]),
+                                     strategy)
+        mentions = [
+            Mention(
+                mention_idx=j,
+                entity_type=etype,
+                start=s,
+                end=e,
+                score=score,
+                surface=text[s:e],
+                norm_surface=norm_surface(text[s:e]),
+            )
+            for j, (etype, s, e, score) in enumerate(resolved, 1)
+        ]
+        results.append((mentions, errs[i]))
+    return results

@@ -156,3 +156,29 @@ def find_ner_spans(
         etype, score = GAZETTEER[m.group(0)]
         out.append((etype, m.start(), m.end(), score))
     return out
+
+
+def find_ner_spans_batch(
+    texts: list[str], enabled: frozenset[str] | None = None
+) -> list[list[tuple[str, int, int, float]]]:
+    """Batch twin of find_ner_spans: ONE finditer over the joined batch.
+    BATCH_SEP is a non-[\\w'] char, so the word-ish boundaries behave
+    exactly like string edges at every join; no gazetteer surface contains
+    it (asserted), so no match can touch a separator."""
+    from bisect import bisect_right
+
+    from .patterns import BATCH_SEP, _segment_starts
+
+    assert not any(BATCH_SEP in s for s in GAZETTEER)
+    out: list[list[tuple[str, int, int, float]]] = [[] for _ in texts]
+    pat = _compiled(enabled)
+    if pat is None or not texts:
+        return out
+    joined = BATCH_SEP.join(texts)
+    starts = _segment_starts(texts)
+    for m in pat.finditer(joined):
+        seg = bisect_right(starts, m.start()) - 1
+        base = starts[seg]
+        etype, score = GAZETTEER[m.group(0)]
+        out[seg].append((etype, m.start() - base, m.end() - base, score))
+    return out

@@ -101,6 +101,196 @@ PATTERN_SPECS: tuple[PatternSpec, ...] = (
 )
 
 
+# Batch-scan separator: texts are joined with this single char and each
+# compiled regex runs ONCE per batch (the per-text finditer call overhead
+# dominated the detection kernel — measured 26k vs 134k texts/s).  "<" is
+# provably inert for the frozen table: it is a non-word char (so \b and the
+# (?<![\w']) gazetteer boundaries behave exactly like a string edge), it is
+# in no character class of any spec (URL's negated class [^\s"'<>)]
+# explicitly excludes it, so URL matches terminate), it is not \s (so
+# DATE_TIME's optional `\s+hh:mm` tail cannot cross a join), and no
+# pattern or gazetteer surface can match or contain it.  Equivalence of
+# batch and per-text scanning is property-tested (tests/test_properties.py)
+# including texts that themselves contain "<".
+BATCH_SEP = "<"
+
+
+def _segment_starts(texts: list[str]) -> list[int]:
+    starts = []
+    pos = 0
+    for t in texts:
+        starts.append(pos)
+        pos += len(t) + 1  # +1 for BATCH_SEP
+    return starts
+
+
+# --- anchored scanning --------------------------------------------------
+# Python re scans complex patterns at only ~20-50 MB/s; the batch hot path
+# instead enumerates CANDIDATE match-start positions with C-speed literal
+# search (str.find / one trivial \d+ pass), then runs `pattern.match` only
+# at those positions.  Each candidate generator below is derived from the
+# frozen spec and provably covers every position where that pattern can
+# match (reasoned case-by-case in comments); equivalence with the plain
+# finditer path is property-tested (tests/test_properties.py).  If a
+# PATTERN_SPECS regex changes, its candidate generator MUST be re-derived
+# (the property test is the tripwire).
+
+_DIGIT_RUN = re.compile(r"\d+")
+_EMAIL_LOCAL_CHARS = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789._%+-"
+)
+
+
+def _iter_lit(joined: str, lit: str):
+    pos = joined.find(lit)
+    while pos != -1:
+        yield pos
+        pos = joined.find(lit, pos + 1)
+
+
+def _cand_iban(joined, runs):
+    # \bUA\d{27}\b can only start at a literal "UA"
+    return _iter_lit(joined, "UA")
+
+
+def _cand_email(joined, runs):
+    # \b[local]+@[domain] must start inside the local-part char run that
+    # ends at an '@'; emit every position of that run (the \b is evaluated
+    # by pattern.match, and the resume pointer skips positions consumed by
+    # an earlier match).  '@' is not a local char, so runs of successive
+    # '@'s are disjoint and candidates stay ordered.
+    for p in _iter_lit(joined, "@"):
+        i = p
+        while i > 0 and joined[i - 1] in _EMAIL_LOCAL_CHARS:
+            i -= 1
+        yield from range(i, p)
+
+
+def _cand_phone(joined, runs):
+    # (?<![\d+])(\+?380\d{9}|0\d{9}|\+\d{7,15})(?!\d): a match starts at a
+    # '+' immediately before a digit run of 7..15, or at a run start that
+    # is '0...' of exactly 10 digits or '380...' of exactly 12 (the
+    # trailing (?!\d) pins the run length; lookbehind bars mid-run starts).
+    for s, e in runs:
+        n = e - s
+        if s and joined[s - 1] == "+" and 7 <= n <= 15:
+            yield s - 1
+        if (joined[s] == "0" and n == 10) or (
+            n == 12 and joined.startswith("380", s)
+        ):
+            yield s
+
+
+def _cand_credit(joined, runs):
+    # (?<!\d)(\d{4}[ -]?){3}\d{4}(?!\d): starts at a digit-run start with
+    # >=4 digits (grouped forms consume later runs; match() handles that).
+    for s, e in runs:
+        if e - s >= 4:
+            yield s
+
+
+def _cand_ip(joined, runs):
+    # (?<![\d.])(\d{1,3}\.){3}...: the first octet is a whole run of <=3
+    # digits followed by '.' (a longer run can never match: \d{1,3}
+    # backtracks against a following digit and fails).
+    n = len(joined)
+    for s, e in runs:
+        if e - s <= 3 and e < n and joined[e] == ".":
+            yield s
+
+
+def _cand_url(joined, runs):
+    # \bhttps?:// | \bwww\. — starts only at literal "http" or "www."
+    hs = list(_iter_lit(joined, "http"))
+    ws = list(_iter_lit(joined, "www."))
+    return iter(sorted(hs + ws)) if ws else iter(hs)
+
+
+def _cand_date(joined, runs):
+    # \b\d{1,2}[./-]... | \b\d{1,2}:\d{2}\b — first number is a whole run
+    # of <=2 digits followed by one of './-:'.
+    n = len(joined)
+    for s, e in runs:
+        if e - s <= 2 and e < n and joined[e] in "./-:":
+            yield s
+
+
+_CANDIDATES = {
+    "IBAN_CODE": (_cand_iban, False),
+    "EMAIL_ADDRESS": (_cand_email, False),
+    "PHONE_NUMBER": (_cand_phone, True),
+    "CREDIT_CARD": (_cand_credit, True),
+    "IP_ADDRESS": (_cand_ip, True),
+    "URL": (_cand_url, False),
+    "DATE_TIME": (_cand_date, True),
+    # CRYPTO has no selective literal anchor; its plain scan is already
+    # cheap (first-char class [13] lets re skip most positions).
+}
+
+
+def _anchored_matches(pattern, joined, candidates):
+    """finditer emulation over a superset of possible match starts:
+    leftmost candidate >= resume wins, scan resumes after each match —
+    identical output to pattern.finditer(joined) (no spec can produce an
+    empty match)."""
+    resume = 0
+    for pos in candidates:
+        if pos < resume:
+            continue
+        m = pattern.match(joined, pos)
+        if m:
+            yield m
+            resume = m.end()
+
+
+def find_pattern_spans_batch(
+    texts: list[str], enabled: frozenset[str] | None = None
+) -> list[list[tuple[str, int, int, float]]]:
+    """Batch twin of find_pattern_spans: anchored candidate scan per spec
+    over the whole joined batch, identical per-text results (same span
+    order, same scores — the context window is re-read from the owning
+    text so the lower()-offset semantics match the per-text path exactly,
+    including length-changing Unicode case mappings)."""
+    from bisect import bisect_right
+
+    out: list[list[tuple[str, int, int, float]]] = [[] for _ in texts]
+    if not texts:
+        return out
+    joined = BATCH_SEP.join(texts)
+    starts = _segment_starts(texts)
+    runs: list[tuple[int, int]] | None = None
+    lowered_cache: dict[int, str] = {}
+    for spec in PATTERN_SPECS:
+        if enabled is not None and spec.entity_type not in enabled:
+            continue
+        cand = _CANDIDATES.get(spec.entity_type)
+        if cand is None:
+            matches = spec.pattern.finditer(joined)
+        else:
+            cand_fn, needs_runs = cand
+            if needs_runs and runs is None:
+                runs = [(m.start(), m.end())
+                        for m in _DIGIT_RUN.finditer(joined)]
+            matches = _anchored_matches(
+                spec.pattern, joined, cand_fn(joined, runs)
+            )
+        for m in matches:
+            ms = m.start()
+            seg = bisect_right(starts, ms) - 1
+            base = starts[seg]
+            s, e = ms - base, m.end() - base
+            score = spec.score
+            if spec.context:
+                lowered = lowered_cache.get(seg)
+                if lowered is None:
+                    lowered = lowered_cache[seg] = texts[seg].lower()
+                window = lowered[max(0, s - CONTEXT_WINDOW) : s]
+                if any(w in window for w in spec.context):
+                    score = min(1.0, score + CONTEXT_BOOST)
+            out[seg].append((spec.entity_type, s, e, score))
+    return out
+
+
 def find_pattern_spans(
     text: str, enabled: frozenset[str] | None = None
 ) -> list[tuple[str, int, int, float]]:

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..semantics.detect import detect_mentions
+from ..semantics.detect import detect_mentions_batch
 from ..semantics.registry import is_valid_text
 from ..sources.tables import TRANSCRIPTS_SCHEMA, valid_text_predicate
 
@@ -54,12 +54,19 @@ def detect_mentions_stream(stream: DataFrame,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for conv_id, turn_idx, ts, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["ts"], pdf["text"]
+            valid = [
+                (conv_id, turn_idx, ts, text)
+                for conv_id, turn_idx, ts, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["ts"], pdf["text"]
+                )
+                if is_valid_text(text)
+            ]
+            detected = detect_mentions_batch(
+                [t for _, _, _, t in valid], strategy=strategy
+            )
+            for (conv_id, turn_idx, ts, text), (mentions, _) in zip(
+                valid, detected
             ):
-                if not is_valid_text(text):
-                    continue
-                mentions, _ = detect_mentions(text, strategy=strategy)
                 for m in mentions:
                     rows.append(
                         (conv_id, turn_idx, ts, m.entity_type,
