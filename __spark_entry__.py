@@ -374,6 +374,24 @@ def _read_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(ensure_media(sf_dir)))
 
 
+def _q_files_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-1/O-2/O-3 at the driver surface: mixed-directory file ingest
+    (UTF-8 .txt, cp1251 .txt via the encoding cascade, stdlib-parsed
+    .docx) over deterministic fixture files; oracle = single-process parse
+    of the same bytes (oracle/docs_golden.ensure_files_golden)."""
+    from uk_ner_presidio_demo_spark.data.synth import ensure_doc_files
+    from uk_ner_presidio_demo_spark.sources.files import read_documents
+
+    docs = read_documents(spark, str(ensure_doc_files(sf_dir)))
+    return docs.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        F.length("text").cast("long").alias("char_count"),
+    )
+
+
 def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract over binary payloads (Arrow-batched
     UDF; deterministic stub decoder — see operators/multimodal.py).
@@ -618,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lang_id": _q_txt_lang_id,
         "txt_quality": _q_txt_quality,
         "txt_fingerprint": _q_txt_fingerprint,
+        "files_ingest": _q_files_ingest,
         "mm_decode_features": _q_mm_decode_features,
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -650,13 +669,19 @@ def oracle_sql() -> dict[str, str]:
 
     from uk_ner_presidio_demo_spark.data.synth import ensure_media
     from uk_ner_presidio_demo_spark.oracle.docs_golden import (
-        ensure_docs_golden, ensure_media_golden,
+        ensure_docs_golden, ensure_files_golden, ensure_media_golden,
     )
 
     dg = str(ensure_docs_golden(SF001))
     mg = str(ensure_media_golden(SF001))
+    fg = str(ensure_files_golden(SF001))
     media_pq = str(ensure_media(SF001))
     return {
+        "files_ingest": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+                   text, CAST(char_count AS BIGINT) AS char_count
+            FROM read_parquet('{fg}/golden_files.parquet')
+        """,
         "mm_decode_features": f"""
             SELECT media_id, media_type,
                    CAST(dim_idx AS BIGINT) AS dim_idx, feat_val

@@ -182,7 +182,10 @@ def main() -> None:
     hw_factor = round(min(1.0, statistics.median(pair_hw)), 3)
     pc_lo = statistics.median(cal_lo)
     pc_hi = statistics.median(cal_hi)
-    eff_norm = round(eff / hw_factor, 3)
+    # capped at 1.0: parallel efficiency above 1 is calibration noise
+    # (the hw control can only be measured with the same +-20% drift the
+    # runs see), not a real superlinear speedup
+    eff_norm = round(min(1.0, eff / hw_factor), 3)
 
     result = {
         "metric": "scaling_efficiency_detection",
@@ -210,6 +213,10 @@ vs `local[{args.n * 4}]` pinned to {args.n * 4} CPUs (sched_setaffinity,
 inherited by the executor JVM and all Python UDF workers).  Pinning matters:
 an unpinned local[N] lets the JVM side spill onto idle cores, overstating
 small-cluster throughput exactly as a real N-core executor cgroup would not.
+The level pair keeps 4N at or below a quarter of the box: occupying most of
+the 32 cores triggers the host's busy-core frequency scaling, which
+penalizes the larger level for a reason a real multi-machine N -> 4N
+cluster would never see (quantified under Hardware control below).
 
 Job: full fused detection (validate -> NER+pattern scan -> sanitize ->
 greedy conflict resolution -> compact-mention explode -> JVM-side
@@ -226,19 +233,21 @@ ratio of bests; per-pair ratios are reported for transparency.
 | N  = {args.n}  | {lo['best_wall_sec']} | {lo['turns_per_sec']} |
 | 4N = {args.n * 4} | {hi['best_wall_sec']} | {hi['turns_per_sec']} |
 
-Raw scaling efficiency = best-throughput(4N) / (4 x best-throughput(N)) =
-**{eff}** (per-pair ratios: {[round(e, 3) for e in pair_effs]}).
+**Raw scaling efficiency = best-throughput(4N) / (4 x best-throughput(N)) =
+{eff}**  (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL — see hw control"};
+per-pair ratios: {[round(e, 3) for e in pair_effs]}).
 
 **Hardware control.** This shared-host VM slows EVERY core as more cores go
 busy (host frequency scaling / co-tenancy): an identical single-process run
 of the detection kernel measures {round(pc_lo)} texts/s with {args.n} cores
 active vs {round(pc_hi)} texts/s with {args.n * 4} cores active — a per-core
 factor of {hw_factor} that ANY program on this box inherits, and that a real
-N -> 4N cluster (separate machines) would not.  Normalizing out the hardware
-factor isolates the ENGINE's parallel efficiency:
+N -> 4N cluster (separate machines) would not.  Normalizing it out isolates
+the ENGINE's parallel efficiency (capped at 1.0 — anything above is
+calibration noise, not superlinearity):
 
-**Engine scaling efficiency (hw-normalized) = {eff} / {hw_factor} =
-{eff_norm}**  (target >= 0.8: {"PASS" if eff_norm >= 0.8 else "FAIL"})
+**Engine scaling efficiency (hw-normalized) = min(1, {eff} / {hw_factor}) =
+{eff_norm}**
 
 Raw walls (best pair): N = {lo['walls_sec']}, 4N = {hi['walls_sec']}.
 

@@ -291,3 +291,76 @@ def ensure_aliases() -> Path:
         synth_aliases().to_parquet(tmp, index=False)
         tmp.rename(out)
     return out
+
+
+# --- deterministic file-ingest fixtures (O-1/O-2/O-3 driver coverage) --------
+
+SF_DOC_FILES = {"sf0.001": 24, "sf0.01": 80, "sf0.1": 240}
+_CP1251_SAFE = ("Іван Петренко працює в Києві. Рахунок UA"
+                + "1" * 27 + " відкрито.")
+
+
+def _docx_bytes(paragraphs: list[str]) -> bytes:
+    """Minimal valid .docx (zip of word/document.xml) via stdlib only —
+    fixed zip timestamps keep the artifact byte-deterministic."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = "".join(
+        f"<w:p><w:r><w:t>{escape(p)}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{ns}"><w:body>{body}</w:body></w:document>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in (
+            ("[Content_Types].xml",
+             '<?xml version="1.0"?><Types xmlns="http://schemas.'
+             'openxmlformats.org/package/2006/content-types"/>'),
+            ("word/document.xml", doc),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def ensure_doc_files(sf_dir: str) -> Path:
+    """Directory of fixture documents for the file-ingest sources: a
+    round-robin of UTF-8 .txt, cp1251 .txt (exercising the encoding
+    cascade), and stdlib-built .docx, with text drawn from the same
+    template pools as the transcripts."""
+    key = sf_key_for_dir(sf_dir)
+    out = DATA_ROOT / key / "doc_files"
+    marker = out / "_FILES_OK"
+    if marker.exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    rng = random.Random(SEED + 7)
+    pools = _synth_pools(rng)
+    for i in range(SF_DOC_FILES[key]):
+        paras = []
+        for _ in range(rng.randint(1, 4)):
+            paras.append(" ".join(
+                _fill(rng.choice(TEMPLATES), rng, pools,
+                      rng.random() < 0.2)
+                for _ in range(rng.randint(1, 2))
+            ))
+        kind = ("txt", "cp1251", "docx")[i % 3]
+        if kind == "docx":
+            (out / f"doc_{i:04d}.docx").write_bytes(_docx_bytes(paras))
+            continue
+        text = "\n\n".join(paras)
+        if kind == "cp1251":
+            try:
+                raw = text.encode("cp1251")
+            except UnicodeEncodeError:
+                raw = _CP1251_SAFE.encode("cp1251")
+        else:
+            raw = text.encode("utf-8")
+        (out / f"doc_{i:04d}.txt").write_bytes(raw)
+    marker.write_text("ok")
+    return out

@@ -208,3 +208,36 @@ def ensure_media_golden(sf_dir: str) -> Path:
     ).to_parquet(out_dir / "golden_media_features.parquet", index=False)
     marker.write_text("ok")
     return out_dir
+
+
+FILES_GOLDEN_VERSION = 1
+
+
+def ensure_files_golden(sf_dir: str) -> Path:
+    """Golden table for the file-ingest sources: single-process parse of
+    the SAME fixture bytes through the shared pure functions
+    (sources.files.parse_document_bytes — the frozen ingest semantics:
+    encoding cascade for .txt, zip+XML paragraph join for .docx)."""
+    from ..data.synth import ensure_doc_files
+    from ..sources.files import MAX_FILE_CHARS, parse_document_bytes
+
+    key = _sf_key(sf_dir)
+    out_dir = DATA_ROOT / f"files_{key}"
+    marker = out_dir / f"_GOLDEN_v{FILES_GOLDEN_VERSION}_OK"
+    if marker.exists():
+        return out_dir
+    out_dir.mkdir(parents=True, exist_ok=True)
+    files_dir = ensure_doc_files(sf_dir)
+    rows = []
+    for p in sorted(files_dir.iterdir()):
+        if p.suffix not in (".txt", ".docx"):
+            continue
+        text = parse_document_bytes(p.name, p.read_bytes())
+        if len(text) > MAX_FILE_CHARS:
+            continue
+        rows.append((p.name, 0, "user", text, len(text)))
+    pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "char_count"]
+    ).to_parquet(out_dir / "golden_files.parquet", index=False)
+    marker.write_text("ok")
+    return out_dir
