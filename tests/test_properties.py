@@ -194,3 +194,35 @@ def test_batch_family_isolation_u2(monkeypatch):
     assert errors == 1  # bit 0: NER family failed
     types = {m.entity_type for m in mentions}
     assert "PHONE_NUMBER" in types and "LOC" not in types
+
+
+class TestVectorizedTwins:
+    """The numpy batch kernels (minhash affine-min, doc minhash, simhash)
+    must stay bit-identical to the frozen scalar semantics."""
+
+    @given(st.lists(st.text(max_size=60), min_size=0, max_size=10))
+    @settings(max_examples=200, deadline=None)
+    def test_minhash_signatures_batch(self, surfaces):
+        import zlib
+
+        from uk_ner_presidio_demo_spark.semantics.minhash import (
+            minhash_signatures_batch, shingles,
+        )
+
+        hash_lists = [
+            [zlib.crc32(g.encode("utf-8")) for g in shingles(s)]
+            for s in surfaces
+        ]
+        assert minhash_signatures_batch(hash_lists) == [
+            minhash_signature(s) for s in surfaces
+        ]
+
+    @given(st.lists(st.text(max_size=100), min_size=0, max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def test_docsim_batch_twins(self, texts):
+        from uk_ner_presidio_demo_spark.semantics.docsim import (
+            doc_minhash, doc_minhash_batch, simhash64, simhash64_batch,
+        )
+
+        assert doc_minhash_batch(texts) == [doc_minhash(t) for t in texts]
+        assert simhash64_batch(texts) == [simhash64(t) for t in texts]

@@ -27,7 +27,8 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..semantics.docsim import (
-    DOC_JACCARD_THRESHOLD, doc_band_keys, doc_jaccard, doc_minhash, simhash64,
+    DOC_JACCARD_THRESHOLD, doc_band_keys, doc_jaccard, doc_minhash_batch,
+    simhash64, simhash64_batch,
 )
 
 _BANDS_SCHEMA = T.StructType(
@@ -61,8 +62,9 @@ def _band_rows(docs: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for band, bhash in doc_band_keys(doc_minhash(text)):
+            sigs = doc_minhash_batch(list(pdf["text"]))  # vectorized twin
+            for doc_id, sig in zip(pdf["doc_id"], sigs):
+                for band, bhash in doc_band_keys(sig):
                     rows.append((int(doc_id), band, bhash))
             yield pd.DataFrame(rows, columns=["doc_id", "band", "bhash"])
 
@@ -119,8 +121,14 @@ def _simhash_rows(docs: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                h = simhash64(text)
+            # bit-identical twins; the numpy path amortizes only on big
+            # batches (cold first-touch pages on this VM cost ~100x, so a
+            # ~150-row task is faster through the scalar loop)
+            if len(pdf) >= 1000:
+                hashes = simhash64_batch(list(pdf["text"]))
+            else:
+                hashes = [simhash64(t) for t in pdf["text"]]
+            for doc_id, h in zip(pdf["doc_id"], hashes):
                 if h >= (1 << 63):  # store as signed 64-bit (Spark LongType)
                     h -= 1 << 64
                 rows.append((int(doc_id), h))

@@ -23,7 +23,8 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..semantics.minhash import (
-    JACCARD_THRESHOLD, band_keys, jaccard, minhash_signature,
+    JACCARD_THRESHOLD, band_keys, jaccard, shingles,
+    minhash_signatures_batch,
 )
 
 BAND_STRUCT = T.ArrayType(
@@ -36,7 +37,16 @@ BAND_STRUCT = T.ArrayType(
 
 @pandas_udf(BAND_STRUCT)
 def _band_keys_udf(surfaces: pd.Series) -> pd.Series:
-    return surfaces.map(lambda s: band_keys(minhash_signature(s)))
+    # vectorized signatures (numpy Mersenne affine-min, bit-identical to
+    # minhash_signature — semantics/minhash.py)
+    import zlib
+
+    hash_lists = [
+        [zlib.crc32(g.encode("utf-8")) for g in shingles(s)]
+        for s in surfaces
+    ]
+    sigs = minhash_signatures_batch(hash_lists)
+    return pd.Series([band_keys(sig) for sig in sigs])
 
 
 @pandas_udf(T.DoubleType())

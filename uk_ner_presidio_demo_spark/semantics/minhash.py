@@ -67,3 +67,73 @@ def jaccard(a: str, b: str) -> float:
     inter = len(sa & sb)
     union = len(sa | sb)
     return inter / union if union else 0.0
+
+
+# --- vectorized twin (engine hot path) ---------------------------------------
+# (a*x + b) mod (2^61 - 1) computed entirely in uint64 numpy with Mersenne
+# arithmetic: a = a1*2^31 + a0 keeps every intermediate product under 2^63,
+# reduction is (v & M) + (v >> 61) with one conditional subtract, and the
+# *2^31 step is a 31-bit rotation of the 61-bit value (exact because
+# 2^61 ≡ 1 mod M).  Bit-identical to the pure-Python minhash_signature —
+# equivalence is hypothesis-tested (tests/test_properties.py).
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _mersenne_affine_min(xs, starts) -> "list[list[int]]":
+    """For each segment of xs (uint64 crc32 values, segment i =
+    xs[starts[i]:starts[i+1]]), the 32 permutation minima.  Segments must
+    be non-empty (callers map empty shingle sets to [0]*32 directly)."""
+    np = _np()
+    M = np.uint64(_MERSENNE)
+    xs = np.asarray(xs, dtype=np.uint64)
+    idx = np.asarray(starts[:-1], dtype=np.int64)
+    sig_cols = []
+    for a, b in _COEFFS:
+        a1 = np.uint64(a >> 31)
+        a0 = np.uint64(a & ((1 << 31) - 1))
+        bb = np.uint64(b)
+        p1 = a1 * xs
+        p1 = (p1 & M) + (p1 >> np.uint64(61))
+        p1 = np.where(p1 >= M, p1 - M, p1)
+        # rotate-left by 31 within 61 bits == multiply by 2^31 mod M
+        r = ((p1 & np.uint64((1 << 30) - 1)) << np.uint64(31)) | (
+            p1 >> np.uint64(30)
+        )
+        p0 = a0 * xs
+        p0 = (p0 & M) + (p0 >> np.uint64(61))
+        p0 = np.where(p0 >= M, p0 - M, p0)
+        s = r + p0 + bb
+        s = (s & M) + (s >> np.uint64(61))
+        s = np.where(s >= M, s - M, s)
+        sig_cols.append(np.minimum.reduceat(s, idx))
+    sig = np.stack(sig_cols, axis=1)  # (n_segments, NUM_HASHES)
+    return [[int(v) for v in row] for row in sig]
+
+
+def minhash_signatures_batch(shingle_hash_lists) -> "list[list[int]]":
+    """Vectorized minhash over many items: input = per-item lists of crc32
+    shingle hashes (the `xs` of minhash_signature); output = per-item
+    32-value signatures, bit-identical to the scalar function."""
+    sizes = [len(h) for h in shingle_hash_lists]
+    flat: list[int] = []
+    starts = [0]
+    for h in shingle_hash_lists:
+        flat.extend(h)
+        starts.append(len(flat))
+    out: list[list[int] | None] = [None] * len(sizes)
+    if flat:
+        nonempty = [i for i, n in enumerate(sizes) if n]
+        ne_starts = [0]
+        ne_flat: list[int] = []
+        for i in nonempty:
+            ne_flat.extend(shingle_hash_lists[i])
+            ne_starts.append(len(ne_flat))
+        sigs = _mersenne_affine_min(ne_flat, ne_starts)
+        for i, sig in zip(nonempty, sigs):
+            out[i] = sig
+    zero = [0] * NUM_HASHES
+    return [sig if sig is not None else list(zero) for sig in out]
