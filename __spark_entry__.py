@@ -330,6 +330,17 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(read_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a TRAINED coarse quantizer: deterministic distributed
+    k-means (int64-quantized Lloyd sums, bit-identical to the oracle
+    trainer) replaces the seeded-centroid stand-in."""
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        ann_topk_ivf_kmeans,
+    )
+
+    return ann_topk_ivf_kmeans(read_tpch(spark, sf_dir, "embeddings"))
+
+
 def _q_txt_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_ner_presidio_demo_spark.operators.textstats import token_count_bpe
 
@@ -372,6 +383,33 @@ def _read_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_ner_presidio_demo_spark.data.synth import ensure_media
 
     return spark.read.parquet(str(ensure_media(sf_dir)))
+
+
+def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ops (§2.8) at the driver surface: REAL Structured Streaming
+    execution — readStream over the transcript parquet, the detection
+    kernel in a streaming mapInPandas, watermarked tumbling-window counts,
+    run to completion with trigger(availableNow) into a memory sink.
+    Oracle: golden mentions joined to turn timestamps, hour-truncated."""
+    import tempfile
+    import uuid
+
+    from uk_ner_presidio_demo_spark.streaming.detect_stream import (
+        detect_mentions_stream, read_transcripts_stream, run_available_now,
+        windowed_entity_counts,
+    )
+
+    path = str(ensure_transcripts(sf_dir))
+    counts = windowed_entity_counts(
+        detect_mentions_stream(read_transcripts_stream(spark, path))
+    )
+    name = f"q_stream_counts_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_stream_q_")
+    out = run_available_now(counts, name, ck, "complete")
+    return out.select(
+        "win_start", "entity_type",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+    )
 
 
 def _q_files_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
         "txt_token_count_bpe": _q_txt_token_count_bpe,
         "emb_neardup": _q_emb_neardup,
         "txt_token_count": _q_txt_token_count,
@@ -637,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": _q_txt_quality,
         "txt_fingerprint": _q_txt_fingerprint,
         "files_ingest": _q_files_ingest,
+        "stream_windowed_counts": _q_stream_windowed_counts,
         "mm_decode_features": _q_mm_decode_features,
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -681,6 +721,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
                    text, CAST(char_count AS BIGINT) AS char_count
             FROM read_parquet('{fg}/golden_files.parquet')
+        """,
+        "stream_windowed_counts": f"""
+            SELECT date_trunc('hour', t.ts) AS win_start,
+                   m.entity_type,
+                   count(*) AS n_mentions
+            FROM read_parquet('{gm}') m
+            JOIN read_parquet('{tg}') t
+              ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+            GROUP BY 1, 2
         """,
         "mm_decode_features": f"""
             SELECT media_id, media_type,
@@ -739,6 +788,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": f"""
             SELECT query_id, neighbor_id, rank, sim_r6
             FROM read_parquet('{dg}/golden_ann_ivf_topk.parquet')
+        """,
+"ann_ivf_kmeans_topk": f"""
+            SELECT query_id, neighbor_id, rank, sim_r6
+            FROM read_parquet('{dg}/golden_ann_ivf_kmeans_topk.parquet')
         """,
         "txt_token_count_bpe": """
             SELECT doc_id,

@@ -42,3 +42,22 @@ def test_lsh_results_are_subset_of_allpairs(spark, sf01):
     assert bset <= aset
     # measured recall on the synthetic planted pairs (docsim tuning note)
     assert len(bset) >= 0.7 * len(aset)
+
+
+def test_distributed_kmeans_bit_identical_to_oracle_trainer(spark, sf01):
+    """The distributed Lloyd trainer (int64-quantized partial sums over
+    mapInPandas + shuffle agg) must produce EXACTLY the single-process
+    trainer's centroids — the determinism claim, asserted directly."""
+    import numpy as np
+
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        kmeans_centroids_distributed,
+    )
+    from uk_ner_presidio_demo_spark.semantics.docsim import kmeans_train
+
+    emb = _read_emb(spark, sf01)
+    got = kmeans_centroids_distributed(emb)
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array([[float(x) for x in v] for v in pdf["embedding"]])
+    want = kmeans_train(mat)
+    assert np.array_equal(got, want)  # bit-identical, not just close

@@ -31,8 +31,9 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from ..semantics.docsim import (
-    ANN_K, EMB_NEARDUP_COS, IVF_NPROBE, cosine_matrix, ivf_cell,
-    ivf_probe_cells, rp_bucket,
+    ANN_K, EMB_NEARDUP_COS, IVF_NPROBE, KMEANS_ITERS, KMEANS_K,
+    cosine_matrix, ivf_cell, ivf_probe_cells, kmeans_assign,
+    kmeans_centroid_from_sums, kmeans_quantize, rp_bucket,
 )
 
 _SCORED_SCHEMA = T.StructType(
@@ -123,8 +124,82 @@ def ann_topk_lsh(emb: DataFrame, k: int = ANN_K) -> DataFrame:
     return _topk_scored(emb, qids, qmat, k, qbuckets)
 
 
+def kmeans_centroids_distributed(emb: DataFrame) -> "np.ndarray":
+    """Deterministic distributed Lloyd training (semantics.docsim kmeans_*):
+    per iteration ONE mapInPandas pass emits per-cell partial int64
+    quantized sums (map-side combine), a tiny (cell, dim) shuffle sum
+    finishes them exactly — integer addition is order-independent, so the
+    result is bit-identical to the single-process oracle trainer
+    regardless of partitioning.  Only K x dim aggregated values ever reach
+    the driver; at 100 TB this is the standard two-phase agg shape."""
+    init_rows = sorted(
+        emb.select("vec_id", "embedding").orderBy("vec_id")
+        .limit(KMEANS_K).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent = np.array(
+        [[float(x) for x in r.embedding] for r in init_rows],
+        dtype=np.float64,
+    )
+    for _ in range(KMEANS_ITERS):
+        frozen = cent  # ships in the kernel closure (a broadcast)
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = [[float(x) for x in v] for v in pdf["embedding"]]
+                cells = kmeans_assign(frozen, vecs)
+                qm = kmeans_quantize(vecs)
+                rows = []
+                for c in np.unique(cells):
+                    m = cells == c
+                    rows.append(
+                        (int(c), int(m.sum()),
+                         [int(x) for x in qm[m].sum(axis=0)])
+                    )
+                yield pd.DataFrame(rows, columns=["cell", "cnt", "sums"])
+
+        part = emb.select("embedding").mapInPandas(
+            kern, "cell int, cnt long, sums array<long>"
+        )
+        exploded = part.select(
+            "cell", F.posexplode("sums").alias("dim", "s")
+        )
+        dim_sums = (
+            exploded.groupBy("cell", "dim")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        counts = {
+            r["cell"]: r["n"]
+            for r in part.groupBy("cell")
+            .agg(F.sum("cnt").alias("n")).collect()
+        }
+        new = cent.copy()
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in dim_sums:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["s"]
+        for c, dims in by_cell.items():
+            sums = [dims[d] for d in range(cent.shape[1])]
+            new[c] = kmeans_centroid_from_sums(sums, int(counts[c]))
+        cent = new
+    return cent
+
+
+def ann_topk_ivf_kmeans(emb: DataFrame, k: int = ANN_K,
+                        nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF top-k over a TRAINED coarse quantizer: distributed deterministic
+    k-means centroids (above) replace the seeded stand-in; assignment and
+    probing reuse the shared ivf_cell/ivf_probe_cells with explicit
+    centroids."""
+    cent = kmeans_centroids_distributed(emb)
+    return ann_topk_ivf(emb, k=k, nprobe=nprobe, centroids=cent)
+
+
 def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
-                 nprobe: int = IVF_NPROBE) -> DataFrame:
+                 nprobe: int = IVF_NPROBE,
+                 centroids: "np.ndarray | None" = None) -> DataFrame:
     """IVF-bucketed top-k: candidates are assigned to their nearest coarse
     centroid (inverted file cell); each query probes its `nprobe` nearest
     cells.  Deterministic seeded centroids stand in for trained k-means —
@@ -142,7 +217,7 @@ def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
                     dtype=np.float64,
                 )
                 cells = np.array(
-                    [ivf_cell([float(x) for x in v])
+                    [ivf_cell([float(x) for x in v], centroids=centroids)
                      for v in pdf["embedding"]]
                 )
                 sims = cosine_matrix(qmat, cmat)
@@ -162,8 +237,10 @@ def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
         return kernel
 
     qids, qmat = _collect_queries(emb)
-    probe_sets = [np.array(ivf_probe_cells(list(qmat[i]), nprobe))
-                  for i in range(len(qids))]
+    probe_sets = [
+        np.array(ivf_probe_cells(list(qmat[i]), nprobe, centroids=centroids))
+        for i in range(len(qids))
+    ]
     scored = emb.select("vec_id", "embedding").mapInPandas(
         kernel_factory(qids, qmat, probe_sets), _SCORED_SCHEMA
     )

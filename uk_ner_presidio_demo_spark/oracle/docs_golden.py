@@ -15,7 +15,7 @@ from ..semantics.docsim import (
     emb_block_keys, rp_bucket, simhash64, simhash_segments, hamming64,
 )
 
-DOCS_GOLDEN_VERSION = 5
+DOCS_GOLDEN_VERSION = 6
 
 
 def _sf_key(sf_dir: str) -> str:
@@ -126,7 +126,7 @@ def ensure_docs_golden(sf_dir: str) -> Path:
         columns=["query_id", "neighbor_id", "rank", "sim_r6"],
     ).to_parquet(out_dir / "golden_ann_lsh_topk.parquet", index=False)
 
-    from ..semantics.docsim import ivf_cell, ivf_probe_cells
+    from ..semantics.docsim import ivf_cell, ivf_probe_cells, kmeans_train
 
     cells = np.array([ivf_cell(by_id[v]) for v in vids])
     qprobes = [np.array(ivf_probe_cells(by_id[q])) for q in qids]
@@ -134,6 +134,17 @@ def ensure_docs_golden(sf_dir: str) -> Path:
         topk_rows(lambda qi: np.isin(cells, qprobes[qi])),
         columns=["query_id", "neighbor_id", "rank", "sim_r6"],
     ).to_parquet(out_dir / "golden_ann_ivf_topk.parquet", index=False)
+
+    # trained coarse quantizer: deterministic k-means (int64-quantized
+    # sums; bit-identical to the engine's distributed trainer)
+    kcent = kmeans_train(cmat)  # cmat rows are vec_id-ascending
+    kcells = np.array([ivf_cell(by_id[v], centroids=kcent) for v in vids])
+    kprobes = [np.array(ivf_probe_cells(by_id[q], centroids=kcent))
+               for q in qids]
+    pd.DataFrame(
+        topk_rows(lambda qi: np.isin(kcells, kprobes[qi])),
+        columns=["query_id", "neighbor_id", "rank", "sim_r6"],
+    ).to_parquet(out_dir / "golden_ann_ivf_kmeans_topk.parquet", index=False)
 
     # near-dup (driver oracle): multi-table hyperplane-LSH blocking + exact
     # cosine verify — the scale-safe semantics shipped in queries()

@@ -142,21 +142,86 @@ IVF_CENTROIDS: list[list[float]] = [
 ]
 
 
-def ivf_cell(vec) -> int:
-    """Nearest-centroid assignment by cosine (shared kernel semantics)."""
+def ivf_cell(vec, centroids=None) -> int:
+    """Nearest-centroid assignment by cosine (shared kernel semantics).
+    `centroids` defaults to the seeded IVF_CENTROIDS; pass trained ones
+    (kmeans below) for the learned quantizer."""
     import numpy as np
 
-    sims = cosine_matrix(np.asarray(IVF_CENTROIDS, dtype=float),
+    cents = IVF_CENTROIDS if centroids is None else centroids
+    sims = cosine_matrix(np.asarray(cents, dtype=float),
                          np.asarray([vec], dtype=float))[0]
-    return int(np.lexsort((list(range(IVF_K)), -sims))[0])
+    return int(np.lexsort((list(range(len(cents))), -sims))[0])
 
 
-def ivf_probe_cells(vec, nprobe: int = IVF_NPROBE) -> list[int]:
+def ivf_probe_cells(vec, nprobe: int = IVF_NPROBE, centroids=None) -> list[int]:
     import numpy as np
 
-    sims = cosine_matrix(np.asarray(IVF_CENTROIDS, dtype=float),
+    cents = IVF_CENTROIDS if centroids is None else centroids
+    sims = cosine_matrix(np.asarray(cents, dtype=float),
                          np.asarray([vec], dtype=float))[0]
-    return [int(i) for i in np.lexsort((list(range(IVF_K)), -sims))[:nprobe]]
+    return [int(i)
+            for i in np.lexsort((list(range(len(cents))), -sims))[:nprobe]]
+
+
+# --- deterministic k-means (trained IVF quantizer) ----------------------------
+# Lloyd iterations made bit-reproducible across a DISTRIBUTED engine and a
+# single-process oracle: per-cell means are computed from QUANTIZED int64
+# sums (order-independent exact integer addition — float partial sums would
+# depend on Spark's nondeterministic combine order), then one float64
+# division.  Init = embeddings of the KMEANS_K smallest vec_ids (data-
+# defined, order-independent).  Assignment ties break to the lowest cell.
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_QUANT = 10 ** 9
+
+
+def kmeans_quantize(vecs):
+    """float64 -> int64 fixed-point (round-half-even), exact under int64
+    summation for any realistic row count."""
+    import numpy as np
+
+    v = np.asarray(vecs, dtype=np.float64)
+    return np.rint(v * KMEANS_QUANT).astype(np.int64)
+
+
+def kmeans_assign(centroids, vecs):
+    """argmax-cosine cell per row; ties -> lowest cell (argmax-first)."""
+    import numpy as np
+
+    sims = cosine_matrix(np.asarray(centroids, dtype=np.float64),
+                         np.asarray(vecs, dtype=np.float64))  # (nv, K)
+    return np.argmax(sims, axis=1)
+
+
+def kmeans_centroid_from_sums(sums, count: int):
+    """The ONE mean expression both sides share: int64 dim sums + row count
+    -> float64 centroid (exact conversion, single IEEE division)."""
+    import numpy as np
+
+    return np.asarray(sums, dtype=np.float64) / float(count * KMEANS_QUANT)
+
+
+def kmeans_train(mat):
+    """Single-process reference trainer (the oracle): mat rows MUST be
+    ordered by vec_id ascending.  Returns (KMEANS_K, dim) float64."""
+    import numpy as np
+
+    mat = np.asarray(mat, dtype=np.float64)
+    cent = mat[:KMEANS_K].copy()
+    q = kmeans_quantize(mat)
+    for _ in range(KMEANS_ITERS):
+        cells = kmeans_assign(cent, mat)
+        new = cent.copy()
+        for k in range(KMEANS_K):
+            m = cells == k
+            if m.any():
+                new[k] = kmeans_centroid_from_sums(
+                    q[m].sum(axis=0), int(m.sum())
+                )
+        cent = new
+    return cent
 
 
 def rp_bucket(vec: list[float]) -> int:
