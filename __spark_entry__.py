@@ -412,6 +412,28 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_stage_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-7 at the driver surface: run the full checkpointed KG pipeline
+    (validate -> detect -> mentions/anonymized/triples -> canonicalize ->
+    materialize) into a fresh checkpoint dir and return each stage's
+    recorded lineage row count.  Every count is independently derivable
+    from the golden tables, so the oracle is exact SQL — the
+    resume/lineage machinery itself is what's being driver-verified."""
+    import tempfile
+
+    from uk_ner_presidio_demo_spark.plans.pipeline import KGPipeline
+
+    pipe = KGPipeline(
+        spark=spark,
+        sf_dir=sf_dir,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckq_pipe_"),
+        out_dir=tempfile.mkdtemp(prefix="outq_pipe_"),
+    )
+    pipe.run()
+    rows = [(r.stage, r.rows) for r in pipe.results]
+    return spark.createDataFrame(rows, "stage string, n_rows long")
+
+
 def _q_files_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-1/O-2/O-3 at the driver surface: mixed-directory file ingest
     (UTF-8 .txt, cp1251 .txt via the encoding cascade, stdlib-parsed
@@ -676,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": _q_txt_quality,
         "txt_fingerprint": _q_txt_fingerprint,
         "files_ingest": _q_files_ingest,
+        "pipeline_stage_rows": _q_pipeline_stage_rows,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "mm_decode_features": _q_mm_decode_features,
         "mm_resize_plan": _q_mm_resize_plan,
@@ -721,6 +744,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
                    text, CAST(char_count AS BIGINT) AS char_count
             FROM read_parquet('{fg}/golden_files.parquet')
+        """,
+        "pipeline_stage_rows": f"""
+            SELECT 'validate_metrics' AS stage,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_rows
+            FROM read_parquet('{tg}')
+            UNION ALL
+            SELECT 'detected_turns',
+                   CAST(sum(CASE WHEN text IS NOT NULL
+                                 AND length(text) <= 100000
+                                 AND regexp_matches(text, '\\S')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM read_parquet('{tg}')
+            UNION ALL
+            SELECT 'mentions', count(*) FROM read_parquet('{gm}')
+            UNION ALL
+            SELECT 'anonymized',
+                   CAST(sum(CASE WHEN text IS NOT NULL
+                                 AND length(text) <= 100000
+                                 AND regexp_matches(text, '\\S')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM read_parquet('{tg}')
+            UNION ALL
+            SELECT 'triples', count(*) FROM read_parquet('{gt}')
+            UNION ALL
+            SELECT 'canonical_nodes', count(*) FROM read_parquet('{gn}')
+            UNION ALL
+            SELECT 'canonical_triples', count(*) FROM read_parquet('{gct}')
         """,
         "stream_windowed_counts": f"""
             SELECT date_trunc('hour', t.ts) AS win_start,
