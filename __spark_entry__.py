@@ -341,6 +341,23 @@ def _q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf_kmeans(read_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_doc_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLICATION (not just pair discovery): MinHash/LSH dup pairs
+    -> connected components -> keep the min doc_id per cluster.  Oracle =
+    single-process union-find over the same golden pair list."""
+    from uk_ner_presidio_demo_spark.operators.dedup import dedup_apply
+
+    return dedup_apply(read_tpch(spark, sf_dir, "documents"))
+
+
+def _q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning composition: quality keep-flag AND lang=='uk' AND
+    near-dup removal in one plan."""
+    from uk_ner_presidio_demo_spark.operators.dedup import clean_corpus
+
+    return clean_corpus(read_tpch(spark, sf_dir, "documents"))
+
+
 def _q_txt_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_ner_presidio_demo_spark.operators.textstats import token_count_bpe
 
@@ -687,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_neardup_exact": _q_doc_neardup_exact,
         "doc_simhash_dups": _q_doc_simhash_dups,
+        "doc_dedup_apply": _q_doc_dedup_apply,
+        "doc_clean_corpus": _q_doc_clean_corpus,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -859,6 +878,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_split_to_array(trim(text), '\\s+'))
                         AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "doc_dedup_apply": f"""
+            SELECT doc_id, text
+            FROM read_parquet('{dg}/golden_dedup_kept.parquet')
+        """,
+        "doc_clean_corpus": f"""
+            SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+            FROM documents d
+            JOIN read_parquet('{dg}/golden_dedup_kept.parquet') k
+              ON d.doc_id = k.doc_id
+            WHERE length(regexp_split_to_array(trim(d.text), '\\s+')) >= 5
+              AND length(d.text) >= 30
+              AND length(d.text) * 1.0
+                  / length(regexp_split_to_array(trim(d.text), '\\s+'))
+                  BETWEEN 2.0 AND 12.0
+              AND length(d.text) - length(regexp_replace(d.text,
+                    '[а-яіїєґА-ЯІЇЄҐ]', '', 'g'))
+                  > length(d.text) - length(regexp_replace(d.text,
+                    '[A-Za-z]', '', 'g'))
         """,
         "txt_lang_id": """
             SELECT doc_id,

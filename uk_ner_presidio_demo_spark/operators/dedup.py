@@ -172,3 +172,60 @@ def simhash_dups(docs: DataFrame, max_hamming: int) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+def _pad_doc_id(col) -> "F.Column":
+    # zero-padded so lexicographic min (the CC label order) == numeric min
+    return F.lpad(col.cast("string"), 12, "0")
+
+
+def dedup_apply(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Apply near-duplicate clustering: MinHash/LSH dup pairs -> connected
+    components (reusing the canonicalization CC operator) -> keep exactly
+    the minimum doc_id of each cluster (singletons keep themselves).
+    Returns the deduplicated (doc_id, text) table — the operator a
+    training-data pipeline actually runs after pair discovery.
+
+    Scale shape: pair discovery is the banded equi-join (never quadratic);
+    CC iterates only over docs that touch a dup pair (singleton bypass);
+    the final keep is a left-semi join."""
+    from .canonicalize import connected_components
+
+    if pairs is None:
+        pairs = neardup_minhash(docs).select("doc_a", "doc_b")
+    nodes = docs.select(
+        F.lit("doc").alias("entity_type"),
+        _pad_doc_id(F.col("doc_id")).alias("norm_surface"),
+    )
+    edges = pairs.select(
+        F.lit("doc").alias("entity_type"),
+        _pad_doc_id(F.col("doc_a")).alias("src"),
+        _pad_doc_id(F.col("doc_b")).alias("dst"),
+    )
+    cc = connected_components(nodes, edges)
+    keepers = cc.filter(
+        F.col("label")
+        == F.concat_ws(":", F.col("entity_type"), F.col("norm_surface"))
+    ).select(F.col("norm_surface").alias("pad_id"))
+    return docs.join(
+        keepers,
+        _pad_doc_id(F.col("doc_id")) == F.col("pad_id"),
+        "left_semi",
+    ).select("doc_id", "text")
+
+
+def clean_corpus(docs: DataFrame) -> DataFrame:
+    """C4-style cleaning composition: quality keep-flag AND language filter
+    AND near-dup removal, in one declarative plan (filters are pure
+    Catalyst; only the dup clustering iterates)."""
+    from .textstats import lang_id, quality_score
+
+    q = quality_score(docs).filter("keep").select("doc_id")
+    lang = lang_id(docs).filter(F.col("lang_guess") == "uk").select("doc_id")
+    kept = dedup_apply(docs).select("doc_id")
+    return (
+        docs.join(q, "doc_id", "left_semi")
+        .join(lang, "doc_id", "left_semi")
+        .join(kept, "doc_id", "left_semi")
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    )

@@ -15,7 +15,7 @@ from ..semantics.docsim import (
     emb_block_keys, rp_bucket, simhash64, simhash_segments, hamming64,
 )
 
-DOCS_GOLDEN_VERSION = 6
+DOCS_GOLDEN_VERSION = 7
 
 
 def _sf_key(sf_dir: str) -> str:
@@ -64,6 +64,28 @@ def ensure_docs_golden(sf_dir: str) -> Path:
                 exact_rows.append((ids[i], ids[j], round(jac, 6)))
     pd.DataFrame(exact_rows, columns=["doc_a", "doc_b", "jaccard_r6"]).to_parquet(
         out_dir / "golden_neardup_exact.parquet", index=False
+    )
+
+    # --- dedup application: union-find over the minhash pairs, keep the
+    # minimum doc_id per component (singletons keep themselves) ---
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in ((r[0], r[1]) for r in lsh_rows):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo  # min-id root
+    kept_rows = [
+        (d, texts[d]) for d in sorted(texts) if find(d) == d
+    ]
+    pd.DataFrame(kept_rows, columns=["doc_id", "text"]).to_parquet(
+        out_dir / "golden_dedup_kept.parquet", index=False
     )
 
     # --- SimHash dups (segment blocking + hamming verify) ---
