@@ -43,10 +43,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         _node_id("entity_type", "norm_surface").alias("id"),
     )
     # Symmetric edge list on node ids (components never span entity types).
+    # Materialize the raw edge list FIRST: the union below references it
+    # twice (forward + swapped), and the edge plan upstream (band join +
+    # verify, or near-dup pair discovery) is the expensive part — without
+    # the cut it would execute twice.
     e = edges.select(
         _node_id("entity_type", "src").alias("src"),
         _node_id("entity_type", "dst").alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     e_sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
@@ -62,26 +66,47 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # candidate labels flowing along edges
         neighbor_labels = (
             e_sym.join(labels, e_sym.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
-        new_labels = (
+        one_hop = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump (path doubling): also take the PREVIOUS round's
+        # label of the freshly-computed label.  That value is a valid
+        # upper bound of the same component's min (labels start at own id
+        # and only decrease), reaches 2 hops further, and comes from the
+        # already-checkpointed frame — no recompute of the agg.  Halves
+        # the round count on chain-y components.
+        prev = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("label2")
+        )
+        new_labels = (
+            one_hop.join(prev, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("label2", "label")
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
+        old = labels
+        labels = new_labels
+        if it == 0:
+            continue  # first round always changes when any edge exists
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(old.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels
         if changed == 0:
             break
 
