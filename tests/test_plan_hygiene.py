@@ -112,3 +112,34 @@ def test_no_rdd_probe_in_operators():
         p.name for p in ops.glob("*.py") if ".rdd" in p.read_text()
     ]
     assert offenders == []
+
+
+def test_dedup_apply_is_blocked_and_semi_joined(spark, sf01):
+    """dedup_apply: candidate discovery stays the banded equi-join (no
+    cartesian), the final keep is a left-semi join, and nothing collects."""
+    import inspect
+
+    from uk_ner_presidio_demo_spark.operators import dedup
+
+    src = inspect.getsource(dedup.dedup_apply) + inspect.getsource(
+        dedup.clean_corpus
+    )
+    assert ".collect()" not in src
+    plan = _plan(em.queries()["doc_dedup_apply"](spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_kmeans_trainer_collects_only_aggregates():
+    """The distributed k-means must never collect the vector table — only
+    the K init rows and the K x dim aggregated sums."""
+    import inspect
+
+    from uk_ner_presidio_demo_spark.operators import similarity
+
+    src = inspect.getsource(similarity.kmeans_centroids_distributed)
+    # every collect is on a limit(K) or a groupBy aggregate
+    for line in src.splitlines():
+        if ".collect()" in line:
+            ctx = src[: src.index(line) + len(line)]
+            assert (".limit(KMEANS_K)" in ctx) or ("groupBy" in ctx), line
