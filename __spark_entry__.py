@@ -668,6 +668,42 @@ def _q_tpch_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension: multi-level ROLLUP aggregate (per flag+status,
+    per flag, grand total) — the OLAP cube shape Catalyst expands to a
+    single Expand+Aggregate (one shuffle, no per-level rescans)."""
+    li = read_tpch(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def _q_kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the materialized KG: per-node degree (subject
+    or object of a canonical triple) and the degree histogram shape —
+    grouped by ref kind (canonical-entity vs conv:/tool: literals)."""
+    ct = spark.read.parquet(
+        _golden("golden_canonical_triples", sf_dir)
+    )
+    nodes = ct.select(F.col("subj").alias("ref")).unionAll(
+        ct.select(F.col("obj").alias("ref"))
+    )
+    deg = nodes.groupBy("ref").agg(F.count("*").alias("degree"))
+    kind = (
+        F.when(F.col("ref").startswith("conv:"), F.lit("conv"))
+        .when(F.col("ref").startswith("tool:"), F.lit("tool"))
+        .otherwise(F.lit("entity"))
+    )
+    return (
+        deg.groupBy(kind.alias("ref_kind"), "degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-4 lag window over an event stream: inter-event gap per user."""
     ev = read_tpch(spark, sf_dir, "events")
@@ -731,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_union": _q_tpch_union,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
         "tpch_conditional_agg": _q_tpch_conditional_agg,
+        "tpch_rollup_agg": _q_tpch_rollup_agg,
+        "kg_degree_distribution": _q_kg_degree_distribution,
         "events_sessions": _q_events_sessions,
         "events_sessionize": _q_events_sessionize,
     }
@@ -1027,6 +1065,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 20
+        """,
+        "tpch_rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "kg_degree_distribution": f"""
+            WITH refs AS (
+                SELECT subj AS ref FROM read_parquet('{gct}')
+                UNION ALL
+                SELECT obj AS ref FROM read_parquet('{gct}')
+            ), deg AS (
+                SELECT ref, count(*) AS degree FROM refs GROUP BY ref
+            )
+            SELECT CASE WHEN ref LIKE 'conv:%' THEN 'conv'
+                        WHEN ref LIKE 'tool:%' THEN 'tool'
+                        ELSE 'entity' END AS ref_kind,
+                   degree,
+                   count(*) AS n_nodes
+            FROM deg GROUP BY 1, 2
         """,
         "tpch_conditional_agg": """
             SELECT n_name,
