@@ -402,6 +402,35 @@ def _read_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(ensure_media(sf_dir)))
 
 
+def _q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-S2 at the driver surface: write the mentions table through the
+    JSON-lines entities sink into a fresh run dir, read it back, and
+    compare (via the oracle) against the golden mentions — the sink is
+    lossless for string/int columns by construction."""
+    import tempfile
+
+    from uk_ner_presidio_demo_spark.sources.sinks import (
+        run_output_dir, write_mentions_json,
+    )
+
+    m = _q_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", "mention_idx", "entity_type",
+        "start", "end", "norm_surface",
+    )
+    out = run_output_dir(tempfile.mkdtemp(prefix="sinkq_"), "mentions")
+    write_mentions_json(m, out)
+    back = spark.read.json(out)
+    return back.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("mention_idx").cast("long").alias("mention_idx"),
+        "entity_type",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "norm_surface",
+    )
+
+
 def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-ops (§2.8) at the driver surface: REAL Structured Streaming
     execution — readStream over the transcript parquet, the detection
@@ -754,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": _q_txt_fingerprint,
         "files_ingest": _q_files_ingest,
         "pipeline_stage_rows": _q_pipeline_stage_rows,
+        "sink_json_roundtrip": _q_sink_json_roundtrip,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "mm_decode_features": _q_mm_decode_features,
         "mm_resize_plan": _q_mm_resize_plan,
@@ -828,6 +858,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'canonical_nodes', count(*) FROM read_parquet('{gn}')
             UNION ALL
             SELECT 'canonical_triples', count(*) FROM read_parquet('{gct}')
+        """,
+        "sink_json_roundtrip": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(mention_idx AS BIGINT) AS mention_idx,
+                   entity_type,
+                   CAST(start AS BIGINT) AS start,
+                   CAST("end" AS BIGINT) AS "end",
+                   norm_surface
+            FROM read_parquet('{gm}')
         """,
         "stream_windowed_counts": f"""
             SELECT date_trunc('hour', t.ts) AS win_start,
