@@ -97,7 +97,10 @@ def test_emb_neardup_is_blocked_not_collected(spark, sf01):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("MapInPandas") >= 2  # block keys + verify, both Arrow
+    # the verify kernel is Arrow-batched; the block-keys kernel sits behind
+    # a localCheckpoint (evaluated once, not twice per self-join side) so
+    # it no longer appears in the final plan
+    assert plan.count("MapInPandas") >= 1
 
 
 def test_no_rdd_probe_in_operators():

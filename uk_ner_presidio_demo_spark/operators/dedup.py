@@ -80,7 +80,10 @@ def neardup_minhash(docs: DataFrame) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify:
     (doc_a, doc_b, jaccard_r6).  The 100-TB path: candidate generation is
     an equi-join on band keys, verification touches candidates only."""
-    bands = _band_rows(docs)
+    # lineage cut: the self-join below references the band rows twice —
+    # without materialization the signature kernel would run twice over
+    # every document (visible as python_stages=4 in PLANS.md before r2)
+    bands = _band_rows(docs).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -140,7 +143,8 @@ def _simhash_rows(docs: DataFrame) -> DataFrame:
 def simhash_dups(docs: DataFrame, max_hamming: int) -> DataFrame:
     """SimHash near-dups: segment-blocking join + JVM-side hamming verify
     (bit_count(a XOR b)) — no Python in the verify path."""
-    sh = _simhash_rows(docs)
+    # lineage cut for the same two-consumer reason as neardup_minhash
+    sh = _simhash_rows(docs).localCheckpoint(eager=True)
     segs = sh.select(
         "doc_id", "simhash", F.explode(F.array(
             *[F.struct(F.lit(i).alias("seg"),

@@ -160,9 +160,12 @@ def kmeans_centroids_distributed(emb: DataFrame) -> "np.ndarray":
                     )
                 yield pd.DataFrame(rows, columns=["cell", "cnt", "sums"])
 
+        # materialized once: both the dim-sum agg and the count agg below
+        # consume it — without the cut the assignment kernel would run
+        # twice per iteration
         part = emb.select("embedding").mapInPandas(
             kern, "cell int, cnt long, sums array<long>"
-        )
+        ).localCheckpoint(eager=True)
         exploded = part.select(
             "cell", F.posexplode("sums").alias("dim", "s")
         )
@@ -289,7 +292,8 @@ def emb_neardup_lsh(emb: DataFrame,
     the driver; candidate generation is a shuffle join, verification is one
     Arrow pass with a row-wise einsum (semantics.docsim.cosine_pairs,
     shared with the oracle for bit-identical doubles)."""
-    blocks = _emb_block_rows(emb)
+    # lineage cut: the self-join references the block rows twice
+    blocks = _emb_block_rows(emb).localCheckpoint(eager=True)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
