@@ -38,39 +38,60 @@ _MENTION_COLS = ["mention_idx", "entity_type", "start", "end", "score",
 
 
 def emit_triples(transcripts: DataFrame, mentions: DataFrame,
-                 window: int = WINDOW_W) -> DataFrame:
-    """transcripts: full turn rows; mentions: output of mentions_from_turns."""
+                 window: int = WINDOW_W,
+                 buckets_per_core: int = 2) -> DataFrame:
+    """transcripts: full turn rows; mentions: output of mentions_from_turns.
+
+    The cogroup key is a HASH BUCKET of conv_id, not conv_id itself: Spark
+    pays a fixed pandas-frame cost per cogroup key (~1 ms), which at one
+    key per conversation dominated the stage (4000 convs ≈ 4 s at sf0.1).
+    The kernel iterates its bucket's conversations with an in-pandas
+    groupby — per-conv semantics identical, ~60x fewer group crossings,
+    still one shuffle by the bucket key.  Skew is unchanged: a hot conv
+    bounds a task either way."""
+    spark = transcripts.sparkSession
+    n_buckets = max(8, spark.sparkContext.defaultParallelism
+                    * buckets_per_core)
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
     def kernel(key: tuple, turns_pdf: pd.DataFrame,
                mentions_pdf: pd.DataFrame) -> pd.DataFrame:
-        conv_id = key[0]
-        turns = [
-            (int(t), None if (tool is None or tool != tool) else tool)
-            for t, tool in zip(turns_pdf["turn_idx"], turns_pdf["tool"])
-        ]
-        by_turn: dict[int, list[Mention]] = {}
-        if len(mentions_pdf):
-            for row in mentions_pdf.sort_values(
-                ["turn_idx", "mention_idx"]
-            ).itertuples(index=False):
-                by_turn.setdefault(int(row.turn_idx), []).append(
-                    Mention(
-                        int(row.mention_idx), row.entity_type, int(row.start),
-                        int(row.end), float(row.score), row.surface,
-                        row.norm_surface,
+        rows: list[tuple] = []
+        ment_by_conv = (
+            {cid: sub for cid, sub in mentions_pdf.groupby("conv_id")}
+            if len(mentions_pdf) else {}
+        )
+        for conv_id, tsub in turns_pdf.groupby("conv_id"):
+            turns = [
+                (int(t), None if (tool is None or tool != tool) else tool)
+                for t, tool in zip(tsub["turn_idx"], tsub["tool"])
+            ]
+            by_turn: dict[int, list[Mention]] = {}
+            msub = ment_by_conv.get(conv_id)
+            if msub is not None:
+                for row in msub.sort_values(
+                    ["turn_idx", "mention_idx"]
+                ).itertuples(index=False):
+                    by_turn.setdefault(int(row.turn_idx), []).append(
+                        Mention(
+                            int(row.mention_idx), row.entity_type,
+                            int(row.start), int(row.end), float(row.score),
+                            row.surface, row.norm_surface,
+                        )
                     )
-                )
-        out = emit_triples_for_conv(conv_id, turns, by_turn, window)
+            out = emit_triples_for_conv(conv_id, turns, by_turn, window)
+            rows.extend((conv_id, t, s, p, o) for (t, s, p, o) in out)
         return pd.DataFrame(
-            [(conv_id, t, s, p, o) for (t, s, p, o) in out],
-            columns=["conv_id", "turn_idx", "subj", "pred", "obj"],
+            rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"],
         )
 
-    turns_meta = transcripts.select("conv_id", "turn_idx", "tool")
-    m = mentions.select("conv_id", "turn_idx", *_MENTION_COLS)
+    turns_meta = transcripts.select("conv_id", "turn_idx", "tool",
+                                    bucket.alias("bucket"))
+    m = mentions.select("conv_id", "turn_idx", *_MENTION_COLS,
+                        bucket.alias("bucket"))
     return (
-        turns_meta.groupBy("conv_id")
-        .cogroup(m.groupBy("conv_id"))
+        turns_meta.groupBy("bucket")
+        .cogroup(m.groupBy("bucket"))
         .applyInPandas(kernel, schema=TRIPLES_SCHEMA)
     )
 
