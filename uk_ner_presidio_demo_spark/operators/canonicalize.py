@@ -56,10 +56,6 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     ).distinct().localCheckpoint(eager=True)
 
     endpoints = e_sym.select(F.col("src").alias("id")).distinct()
-    singles = n.join(endpoints, "id", "left_anti").select(
-        "entity_type", "norm_surface", F.col("id").alias("label")
-    )
-
     labels = (
         n.join(endpoints, "id", "left_semi")
         .select("id", F.col("id").alias("label"))
@@ -110,10 +106,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         if changed == 0:
             break
 
-    looped = n.join(labels, "id").select(
-        "entity_type", "norm_surface", "label"
+    # ONE pass over the entity universe: endpoint nodes take their
+    # converged label, singletons (the dominant case at scale — no label
+    # row) keep their own id via coalesce.  Replaces the previous
+    # anti-join + inner-join + union trio.
+    return n.join(labels, "id", "left").select(
+        "entity_type",
+        "norm_surface",
+        F.coalesce("label", F.col("id")).alias("label"),
     )
-    return looped.unionByName(singles)
 
 
 def canonical_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
