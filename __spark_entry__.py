@@ -480,6 +480,34 @@ def _q_pipeline_stage_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stage string, n_rows long")
 
 
+def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (§2.8 + dedup family): readStream over the
+    documents parquet, applyInPandasWithState keeps the first arrival per
+    content fingerprint; run to completion under availableNow.  Oracle:
+    min-doc_id keeper per fingerprint (arg_min)."""
+    import tempfile
+    import uuid
+
+    from uk_ner_presidio_demo_spark.streaming.detect_stream import (
+        run_available_now, streaming_exact_dedup,
+    )
+
+    # file streams need a DIRECTORY source; glob-filter the sf dir down to
+    # the documents table
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = run_available_now(
+        streaming_exact_dedup(stream),
+        f"q_stream_dedup_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="ck_stream_dedup_"),
+        "append",
+    )
+    return out.select("fp", "doc_id", "text")
+
+
 def _q_files_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-1/O-2/O-3 at the driver surface: mixed-directory file ingest
     (UTF-8 .txt, cp1251 .txt via the encoding cascade, stdlib-parsed
@@ -785,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_stage_rows": _q_pipeline_stage_rows,
         "sink_json_roundtrip": _q_sink_json_roundtrip,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_exact_dedup": _q_stream_exact_dedup,
         "mm_decode_features": _q_mm_decode_features,
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -867,6 +896,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST("end" AS BIGINT) AS "end",
                    norm_surface
             FROM read_parquet('{gm}')
+        """,
+        "stream_exact_dedup": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp,
+                   min(doc_id) AS doc_id,
+                   arg_min(text, doc_id) AS text
+            FROM documents
+            GROUP BY 1
         """,
         "stream_windowed_counts": f"""
             SELECT date_trunc('hour', t.ts) AS win_start,

@@ -166,3 +166,51 @@ def run_available_now(df: DataFrame, query_name: str,
     )
     q.awaitTermination()
     return df.sparkSession.table(query_name)
+
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
+    """Incremental exact dedup across micro-batches: group by content
+    fingerprint (md5 of whitespace-normalized lowercase text — the same
+    Catalyst expression as operators.textstats.fingerprint), keep ONLY the
+    first-ever arrival of each fingerprint; per-key GroupState remembers
+    "seen" forever (production would add a state TTL/watermark).  Within
+    one micro-batch the min doc_id wins, matching the batch exact-dedup
+    keeper rule."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    keyed = docs_stream.select(fp.alias("fp"), "doc_id", "text")
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            return  # fingerprint already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if best is None or int(doc_id) < best[0]:
+                    best = (int(doc_id), text)
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame(
+                [(key[0], best[0], best[1])],
+                columns=["fp", "doc_id", "text"],
+            )
+
+    return keyed.groupBy("fp").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
