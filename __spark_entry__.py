@@ -843,7 +843,8 @@ def oracle_sql() -> dict[str, str]:
     gseg = _golden("golden_segments")
     tg = _transcripts_glob()
     # priority <= 2 types, from the shared review-confirmation rule
-    _top_pii = "('CREDIT_CARD','IBAN_CODE','EMAIL_ADDRESS','PHONE_NUMBER','CRYPTO')"
+    _top_pii = ("('CREDIT_CARD','IBAN_CODE','EMAIL_ADDRESS',"
+                "'PHONE_NUMBER','CRYPTO','UA_IPN')")
     _confirm = f"(score >= 0.9 OR entity_type IN {_top_pii})"
 
     from uk_ner_presidio_demo_spark.data.synth import ensure_media

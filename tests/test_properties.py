@@ -120,6 +120,7 @@ _patternish = st.one_of(
     st.from_regex(r"[0-9]{1,3}[./:-][0-9]{1,3}([./:-][0-9]{1,5})?",
                   fullmatch=True),
     st.from_regex(r"UA[0-9]{20,30}", fullmatch=True),
+    st.from_regex(r"(іпн |рнокпп |tax )?[0-9]{9,11}", fullmatch=True),
     st.from_regex(r"[A-Za-z0-9._%+-]{0,8}@{1,2}[A-Za-z0-9.-]{0,8}"
                   r"(\.[A-Za-z]{1,4})?", fullmatch=True),
     st.from_regex(r"(https?://|www\.|ftp://)[^ ]{0,12}", fullmatch=True),

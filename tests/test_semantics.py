@@ -149,3 +149,51 @@ class TestMinhash:
     def test_jaccard(self):
         assert jaccard("abc", "abc") == 1.0
         assert jaccard("abcdef", "uvwxyz") == 0.0
+
+
+class TestIpnRecognizer:
+    def test_checksum(self):
+        from uk_ner_presidio_demo_spark.semantics.patterns import (
+            ipn_checksum_ok,
+        )
+
+        # hand-computed РНОКПП: digits 173020078, control =
+        # ((1*-1 + 7*5 + 3*7 + 0*9 + 2*4 + 0*6 + 0*10 + 7*5 + 8*7) % 11) % 10
+        assert ipn_checksum_ok("1730200780")
+        assert not ipn_checksum_ok("1730200781")
+
+    def test_valid_ipn_detected_with_context_boost(self):
+        from uk_ner_presidio_demo_spark.semantics.detect import detect_mentions
+
+        ms, err = detect_mentions("Мій ІПН 1730200780, дякую.")
+        hits = [m for m in ms if m.entity_type == "UA_IPN"]
+        assert err == 0 and len(hits) == 1
+        assert hits[0].surface == "1730200780"
+        assert hits[0].score == 0.85  # 0.5 base + 0.35 context boost
+
+    def test_invalid_checksum_rejected(self):
+        from uk_ner_presidio_demo_spark.semantics.detect import detect_mentions
+
+        ms, _ = detect_mentions("Мій ІПН 1730200781, дякую.")
+        assert not [m for m in ms if m.entity_type == "UA_IPN"]
+
+    def test_phone_not_misread_as_ipn(self):
+        """0XXXXXXXXX phones are 10 digits too; PHONE_NUMBER (same priority,
+        higher score than un-boosted IPN) must win resolution."""
+        from uk_ner_presidio_demo_spark.semantics.detect import detect_mentions
+
+        # a 0-leading 10-digit string that happens to pass the checksum
+        from uk_ner_presidio_demo_spark.semantics.patterns import (
+            ipn_checksum_ok,
+        )
+
+        num = None
+        for tail in range(10**4):
+            cand = f"050123{tail:04d}"
+            if ipn_checksum_ok(cand):
+                num = cand
+                break
+        assert num is not None
+        ms, _ = detect_mentions(f"Телефон {num} вказано.")
+        types = {m.entity_type for m in ms}
+        assert "PHONE_NUMBER" in types and "UA_IPN" not in types

@@ -152,6 +152,22 @@ def synth_transcripts(n_convs: int, seed: int = SEED) -> pd.DataFrame:
                     for _ in range(n_sent)
                 )
             rows.append((conv_id, ti, role, text, None, ts))
+        # Additive IPN turn (r2: the north-star IPN class): appended AFTER
+        # the conv's turns with a conv-local RNG so the shared stream —
+        # and therefore every previously-generated text — is unchanged.
+        if ci % 37 == 5:
+            iprng = random.Random(seed * 1_000_003 + ci)
+            digits = [iprng.randint(0, 9) for _ in range(9)]
+            ctrl = (sum(d * w for d, w in zip(
+                digits, (-1, 5, 7, 9, 4, 6, 10, 5, 7))) % 11) % 10
+            ipn = "".join(map(str, digits)) + str(ctrl)
+            lead = iprng.choice(
+                ("Мій ІПН", "РНОКПП платника", "Податковий номер")
+            )
+            rows.append(
+                (conv_id, n_turns, "user", f"{lead} {ipn}.", None,
+                 base_ts + timedelta(hours=ci, seconds=30 * n_turns))
+            )
     df = pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
@@ -227,7 +243,7 @@ def ensure_transcripts(sf_dir: str) -> Path:
     """
     key = sf_key_for_dir(sf_dir)
     out = DATA_ROOT / key / "transcripts.parquet"
-    if not (out / "_OK_v2").exists():
+    if not (out / "_OK_v3").exists():
         out.mkdir(parents=True, exist_ok=True)
         for old in out.glob("part-*.parquet"):
             old.unlink()
@@ -237,7 +253,7 @@ def ensure_transcripts(sf_dir: str) -> Path:
         for b in range(n):
             part = df[buckets == b]
             part.to_parquet(out / f"part-{b:05d}.parquet", index=False)
-        (out / "_OK_v2").write_text("ok")
+        (out / "_OK_v3").write_text("ok")
     return out
 
 

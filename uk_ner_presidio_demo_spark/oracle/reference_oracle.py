@@ -225,7 +225,7 @@ def canonicalize(mentions: pd.DataFrame) -> pd.DataFrame:
     ).sort_values(["entity_type", "norm_surface"]).reset_index(drop=True)
 
 
-GOLDEN_VERSION = 5  # bump when oracle semantics/outputs change -> cache bust
+GOLDEN_VERSION = 6  # bump when oracle semantics/outputs change -> cache bust
 
 
 def ensure_golden(sf_dir: str, strategy: str = DEFAULT_STRATEGY) -> Path:

@@ -25,6 +25,9 @@ class PatternSpec(NamedTuple):
     pattern: "re.Pattern[str]"
     score: float
     context: tuple[str, ...]  # context words that boost the score
+    # optional post-match validator (Presidio's validate_result shape):
+    # the span is kept only if validate(match_text) is True
+    validate: "object" = None
 
 
 CONTEXT_BOOST: float = 0.35
@@ -40,6 +43,20 @@ _IBAN_CONTEXT = (
     "переказ", "перевод",
     "account", "payment", "transfer",
 )
+
+_IPN_WEIGHTS = (-1, 5, 7, 9, 4, 6, 10, 5, 7)
+_IPN_CONTEXT = (
+    "іпн", "рнокпп", "ідентифікаційний", "податковий", "платник",
+    "tax", "ipn",
+)
+
+
+def ipn_checksum_ok(digits: str) -> bool:
+    """РНОКПП (Ukrainian individual tax number) checksum: control digit =
+    (sum(d_i * w_i, i=1..9) mod 11) mod 10 — the public algorithm."""
+    total = sum(int(d) * w for d, w in zip(digits[:9], _IPN_WEIGHTS))
+    return (total % 11) % 10 == int(digits[9])
+
 
 PATTERN_SPECS: tuple[PatternSpec, ...] = (
     PatternSpec(
@@ -97,6 +114,16 @@ PATTERN_SPECS: tuple[PatternSpec, ...] = (
         ),
         0.6,
         (),
+    ),
+    PatternSpec(
+        "UA_IPN",
+        # РНОКПП: exactly 10 digits, checksum-validated (north-star IPN
+        # class; the reference ships no IPN recognizer, so this is OUR
+        # frozen spec following Presidio's pattern+validator shape)
+        re.compile(r"(?<!\d)\d{10}(?!\d)"),
+        0.5,
+        _IPN_CONTEXT,
+        ipn_checksum_ok,
     ),
 )
 
@@ -215,6 +242,13 @@ def _cand_date(joined, runs):
             yield s
 
 
+def _cand_ipn(joined, runs):
+    # (?<!\d)\d{10}(?!\d) — a whole digit run of exactly 10
+    for s, e in runs:
+        if e - s == 10:
+            yield s
+
+
 _CANDIDATES = {
     "IBAN_CODE": (_cand_iban, False),
     "EMAIL_ADDRESS": (_cand_email, False),
@@ -223,6 +257,7 @@ _CANDIDATES = {
     "IP_ADDRESS": (_cand_ip, True),
     "URL": (_cand_url, False),
     "DATE_TIME": (_cand_date, True),
+    "UA_IPN": (_cand_ipn, True),
     # CRYPTO has no selective literal anchor; its plain scan is already
     # cheap (first-char class [13] lets re skip most positions).
 }
@@ -274,7 +309,12 @@ def find_pattern_spans_batch(
             matches = _anchored_matches(
                 spec.pattern, joined, cand_fn(joined, runs)
             )
+        validate = spec.validate
         for m in matches:
+            # validator runs OUTSIDE the matcher: a rejected span is still
+            # CONSUMED by the scan (finditer semantics), it just isn't kept
+            if validate is not None and not validate(m.group(0)):
+                continue
             ms = m.start()
             seg = bisect_right(starts, ms) - 1
             base = starts[seg]
@@ -307,6 +347,8 @@ def find_pattern_spans(
         if enabled is not None and spec.entity_type not in enabled:
             continue
         for m in spec.pattern.finditer(text):
+            if spec.validate is not None and not spec.validate(m.group(0)):
+                continue
             score = spec.score
             if spec.context:
                 lo = max(0, m.start() - CONTEXT_WINDOW)

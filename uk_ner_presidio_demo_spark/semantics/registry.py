@@ -20,7 +20,7 @@ NER_ENTITY_TYPES: tuple[str, ...] = (
 
 PATTERN_ENTITY_TYPES: tuple[str, ...] = (
     "EMAIL_ADDRESS", "PHONE_NUMBER", "CREDIT_CARD", "IBAN_CODE",
-    "IP_ADDRESS", "URL", "CRYPTO", "DATE_TIME",
+    "IP_ADDRESS", "URL", "CRYPTO", "DATE_TIME", "UA_IPN",
 )
 
 ALL_ENTITY_TYPES: tuple[str, ...] = NER_ENTITY_TYPES + PATTERN_ENTITY_TYPES
@@ -35,6 +35,7 @@ ENTITY_PRIORITIES: dict[str, int] = {
     "EMAIL_ADDRESS": 2,
     "PHONE_NUMBER": 2,
     "CRYPTO": 2,
+    "UA_IPN": 2,   # north-star IPN class (checksum-validated; OUR spec)
     "PERS": 3,
     "DOC": 3,
     "ORG": 4,
