@@ -358,6 +358,13 @@ def _q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(read_tpch(spark, sf_dir, "documents"))
 
 
+def _q_txt_unigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring substrate (corpus-count join; no UDF)."""
+    from uk_ner_presidio_demo_spark.operators.textstats import unigram_probs
+
+    return unigram_probs(read_tpch(spark, sf_dir, "documents"))
+
+
 def _q_txt_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_ner_presidio_demo_spark.operators.textstats import token_count_bpe
 
@@ -809,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lang_id": _q_txt_lang_id,
         "txt_quality": _q_txt_quality,
         "txt_fingerprint": _q_txt_fingerprint,
+        "txt_unigram_probs": _q_txt_unigram_probs,
         "files_ingest": _q_files_ingest,
         "pipeline_stage_rows": _q_pipeline_stage_rows,
         "sink_json_roundtrip": _q_sink_json_roundtrip,
@@ -1052,6 +1060,24 @@ def oracle_sql() -> dict[str, str]:
                     AND n_chars / n_tokens >= 2.0
                     AND n_chars / n_tokens <= 12.0) AS keep
             FROM q
+        """,
+        "txt_unigram_probs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS token
+                FROM documents
+            ), toks2 AS (
+                SELECT * FROM toks WHERE token != ''
+            ), counts AS (
+                SELECT token, count(*) AS tok_count FROM toks2 GROUP BY token
+            ), total AS (
+                SELECT sum(tok_count) AS tt FROM counts
+            )
+            SELECT t.doc_id, t.token,
+                   CAST(c.tok_count AS BIGINT) AS tok_count,
+                   c.tok_count / (SELECT tt * 1.0 FROM total) AS p_unigram
+            FROM toks2 t JOIN counts c USING (token)
         """,
         "txt_fingerprint": """
             SELECT doc_id,

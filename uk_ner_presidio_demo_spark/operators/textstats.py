@@ -93,3 +93,31 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(normalized).alias("fp"),
     )
+
+
+def unigram_probs(docs: DataFrame) -> DataFrame:
+    """Unigram-LM scoring substrate (the perplexity-filter shape of C4/CCNet
+    pipelines): corpus token counts joined back to each document's tokens —
+    (doc_id, token, tok_count, p_unigram).  Entirely Catalyst (explode +
+    two-phase agg + equi-join, no UDF); the single corpus total is a
+    driver-side scalar aggregate (one number, the scale-correct choice —
+    an all-rows window would single-partition the counts).  Probabilities
+    are plain int64/int64 IEEE divisions, bit-identical across engines (a
+    log() here would risk cross-libm last-ulp drift vs the oracle)."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("tok_count"))
+    total = counts.agg(F.sum("tok_count")).first()[0]
+    return toks.join(counts, "token").select(
+        "doc_id",
+        "token",
+        F.col("tok_count").cast("long").alias("tok_count"),
+        (F.col("tok_count") / F.lit(int(total))).alias("p_unigram"),
+    )
