@@ -358,6 +358,13 @@ def _q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(read_tpch(spark, sf_dir, "documents"))
 
 
+def _q_txt_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality feature (C4-shape; frozen UK stopword list)."""
+    from uk_ner_presidio_demo_spark.operators.textstats import stopword_stats
+
+    return stopword_stats(read_tpch(spark, sf_dir, "documents"))
+
+
 def _q_txt_unigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM scoring substrate (corpus-count join; no UDF)."""
     from uk_ner_presidio_demo_spark.operators.textstats import unigram_probs
@@ -816,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lang_id": _q_txt_lang_id,
         "txt_quality": _q_txt_quality,
         "txt_fingerprint": _q_txt_fingerprint,
+        "txt_stopword_stats": _q_txt_stopword_stats,
         "txt_unigram_probs": _q_txt_unigram_probs,
         "files_ingest": _q_files_ingest,
         "pipeline_stage_rows": _q_pipeline_stage_rows,
@@ -1060,6 +1068,22 @@ def oracle_sql() -> dict[str, str]:
                     AND n_chars / n_tokens >= 2.0
                     AND n_chars / n_tokens <= 12.0) AS keep
             FROM q
+        """,
+        "txt_stopword_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS token
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN token IN ('і', 'й', 'та', 'або', 'але', 'що', 'як', 'до', 'на', 'у', 'в', 'з', 'із', 'зі', 'за', 'від', 'про', 'по', 'при', 'для', 'без', 'це', 'цей', 'ця', 'ці', 'той', 'те', 'він', 'вона', 'воно', 'вони', 'ми', 'ви', 'я', 'ти', 'не', 'ні', 'так', 'же', 'б', 'би', 'його', 'її', 'їх', 'а', 'о', 'є', 'був', 'була', 'було', 'були', 'бути')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+                   sum(CASE WHEN token IN ('і', 'й', 'та', 'або', 'але', 'що', 'як', 'до', 'на', 'у', 'в', 'з', 'із', 'зі', 'за', 'від', 'про', 'по', 'при', 'для', 'без', 'це', 'цей', 'ця', 'ці', 'той', 'те', 'він', 'вона', 'воно', 'вони', 'ми', 'ви', 'я', 'ти', 'не', 'ні', 'так', 'же', 'б', 'би', 'його', 'її', 'їх', 'а', 'о', 'є', 'був', 'була', 'було', 'були', 'бути') THEN 1 ELSE 0 END)
+                       / (count(*) * 1.0) AS stopword_ratio
+            FROM toks WHERE token != ''
+            GROUP BY doc_id
         """,
         "txt_unigram_probs": """
             WITH toks AS (

@@ -121,3 +121,40 @@ def unigram_probs(docs: DataFrame) -> DataFrame:
         F.col("tok_count").cast("long").alias("tok_count"),
         (F.col("tok_count") / F.lit(int(total))).alias("p_unigram"),
     )
+
+
+# Frozen Ukrainian function-word list for the C4-style stopword-ratio
+# feature (a natural-language document has a healthy share of these;
+# word-soup/boilerplate does not).
+STOPWORDS_UK: tuple[str, ...] = (
+    "і", "й", "та", "або", "але", "що", "як", "до", "на", "у", "в", "з",
+    "із", "зі", "за", "від", "про", "по", "при", "для", "без", "це", "цей",
+    "ця", "ці", "той", "те", "він", "вона", "воно", "вони", "ми", "ви",
+    "я", "ти", "не", "ні", "так", "же", "б", "би", "його", "її", "їх",
+    "а", "о", "є", "був", "була", "було", "були", "бути",
+)
+
+
+def stopword_stats(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio quality feature: (doc_id, n_tokens, n_stopwords,
+    stopword_ratio).  Explode + conditional aggregate, JVM-side; the ratio
+    is one int64/int64 IEEE division (exact cross-engine)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("token").isin(*STOPWORDS_UK), 1).otherwise(0)
+            ).alias("n_stopwords"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_stopwords").cast("long").alias("n_stopwords"),
+            (F.col("n_stopwords") / F.col("n_tokens")).alias("stopword_ratio"),
+        )
+    )
