@@ -166,6 +166,30 @@ def _q_triple_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-pair co-occurrence within a turn (the classic KG edge-weight
+    signal): distinct per-turn entity refs self-joined (a < b), counted
+    corpus-wide.  Top 200 pairs for a bounded result."""
+    m = _q_mentions(spark, sf_dir)
+    ent = m.select(
+        "conv_id", "turn_idx",
+        F.concat_ws(":", "entity_type", "norm_surface").alias("ref"),
+    ).distinct()
+    a, b = ent.alias("a"), ent.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+        & (F.col("a.ref") < F.col("b.ref")),
+    ).select(F.col("a.ref").alias("ref_a"), F.col("b.ref").alias("ref_b"))
+    return (
+        pairs.groupBy("ref_a", "ref_b")
+        .agg(F.count("*").alias("n_turns"))
+        .orderBy(F.desc("n_turns"), "ref_a", "ref_b")
+        .limit(200)
+    )
+
+
 def _q_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-1 broadcast alias link + J-2 MinHash/LSH blocking + J-3 iterative
     connected components -> stable canonical ids (F-9)."""
@@ -797,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_surfaces": _q_top_surfaces,
         "kg_valid_turn_stats": _q_valid_turn_stats,
         "kg_top_surfaces_salted": _q_top_surfaces_salted,
+        "kg_entity_cooccurrence": _q_entity_cooccurrence,
         "kg_normalize_text": _q_normalize_text,
         "kg_confirmed_mentions": _q_confirmed_mentions,
         "kg_rejected_mentions": _q_rejected_mentions,
@@ -1260,6 +1285,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY entity_type, norm_surface
             ORDER BY n_mentions DESC, entity_type, norm_surface
             LIMIT 50
+        """,
+        "kg_entity_cooccurrence": f"""
+            WITH ent AS (
+                SELECT DISTINCT conv_id, turn_idx,
+                       entity_type || ':' || norm_surface AS ref
+                FROM read_parquet('{gm}')
+            )
+            SELECT a.ref AS ref_a, b.ref AS ref_b, count(*) AS n_turns
+            FROM ent a JOIN ent b
+              ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+             AND a.ref < b.ref
+            GROUP BY 1, 2
+            ORDER BY n_turns DESC, ref_a, ref_b
+            LIMIT 200
         """,
         "kg_valid_turn_stats": f"""
             SELECT role,
