@@ -42,9 +42,27 @@ def main() -> int:
             print("bench-regressions: fewer than two BENCH_r*.json — skip")
             return 0
         old_p, new_p = pair
+    # driver-recorded BENCH_r*.json wraps the bench line under "parsed";
+    # a raw bench.py line has the fields at top level (VERDICT r2 #1)
     old = json.loads(old_p.read_text())
     new = json.loads(new_p.read_text())
+    old = old.get("parsed", old)
+    new = new.get("parsed", new)
     oldq, newq = old.get("queries", {}), new.get("queries", {})
+    if not oldq or not newq:
+        print(
+            f"bench-regressions: ERROR — empty query dict "
+            f"({old_p.name}: {len(oldq)}, {new_p.name}: {len(newq)})"
+        )
+        return 1
+    est_old = old.get("estimator", "single_shot")
+    est_new = new.get("estimator", "single_shot")
+    if est_old != est_new:
+        print(
+            f"bench-regressions: WARNING — estimator changed "
+            f"({est_old} -> {est_new}); ratios include the estimator "
+            f"delta, not just kernel changes"
+        )
     flagged, improved = [], []
     for name, t_new in sorted(newq.items()):
         t_old = oldq.get(name)
