@@ -349,9 +349,13 @@ def ensure_doc_files(sf_dir: str) -> Path:
     round-robin of UTF-8 .txt, cp1251 .txt (exercising the encoding
     cascade), and stdlib-built .docx, with text drawn from the same
     template pools as the transcripts."""
+    from ..oracle.docs_golden import FILES_GOLDEN_VERSION
+
     key = sf_key_for_dir(sf_dir)
     out = DATA_ROOT / key / "doc_files"
-    marker = out / "_FILES_OK"
+    # versioned like every other fixture marker: bump FILES_GOLDEN_VERSION
+    # when the generator changes so warm caches regenerate (CLAUDE.md)
+    marker = out / f"_FILES_OK_v{FILES_GOLDEN_VERSION}"
     if marker.exists():
         return out
     out.mkdir(parents=True, exist_ok=True)

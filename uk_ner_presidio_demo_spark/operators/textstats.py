@@ -95,6 +95,52 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_profile(docs: DataFrame) -> DataFrame:
+    """One-scan fusion of the per-doc counting features: whitespace tokens,
+    BPE-ish pretokenizer tokens, and the content fingerprint — what a real
+    pipeline computes in a single pass instead of three scans (the
+    token_count / token_count_bpe / fingerprint operators stay as the
+    individually-tested units)."""
+    normalized = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.md5(normalized).alias("fp"),
+    )
+
+
+def lang_quality(docs: DataFrame) -> DataFrame:
+    """One-scan fusion of quality_score + lang_id — the combined per-doc
+    filter-feature row a C4-style pipeline materializes once."""
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_punct = _count_matches("text", PUNCT_CLASS)
+    avg_tok = n_chars / n_tokens
+    cyr = _count_matches("text", CYRILLIC_CLASS)
+    lat = _count_matches("text", LATIN_CLASS)
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        avg_tok.alias("avg_token_len"),
+        (
+            (n_tokens >= 5) & (n_chars >= 30) & (avg_tok >= 2.0)
+            & (avg_tok <= 12.0)
+        ).alias("keep"),
+        cyr.cast("long").alias("n_cyr"),
+        lat.cast("long").alias("n_lat"),
+        F.when(cyr > lat, F.lit("uk"))
+        .when(lat > cyr, F.lit("lat"))
+        .otherwise(F.lit("other"))
+        .alias("lang_guess"),
+    )
+
+
 def unigram_probs(docs: DataFrame) -> DataFrame:
     """Unigram-LM scoring substrate (the perplexity-filter shape of C4/CCNet
     pipelines): corpus token counts joined back to each document's tokens —
@@ -114,7 +160,9 @@ def unigram_probs(docs: DataFrame) -> DataFrame:
         .filter(F.col("token") != "")
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("tok_count"))
-    total = counts.agg(F.sum("tok_count")).first()[0]
+    # sum() over zero rows is NULL, not 0 — an empty/all-whitespace corpus
+    # must yield an empty frame, not int(None) (ADVICE r2)
+    total = counts.agg(F.sum("tok_count")).first()[0] or 1
     return toks.join(counts, "token").select(
         "doc_id",
         "token",
