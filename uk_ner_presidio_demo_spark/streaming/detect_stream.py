@@ -176,41 +176,66 @@ DEDUP_OUT_SCHEMA = T.StructType(
     ]
 )
 
-_DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+_DEDUP_STATE = T.StructType([T.StructField("min_doc_id", T.LongType())])
 
 
-def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
+def streaming_exact_dedup(docs_stream: DataFrame,
+                          ttl_ms: int | None = None) -> DataFrame:
     """Incremental exact dedup across micro-batches: group by content
     fingerprint (md5 of whitespace-normalized lowercase text — the same
-    Catalyst expression as operators.textstats.fingerprint), keep ONLY the
-    first-ever arrival of each fingerprint; per-key GroupState remembers
-    "seen" forever (production would add a state TTL/watermark).  Within
-    one micro-batch the min doc_id wins, matching the batch exact-dedup
-    keeper rule."""
+    Catalyst expression as operators.textstats.fingerprint).
+
+    Keeper rule: per-key GroupState tracks the MIN doc_id ever seen.  The
+    first arrival of a fingerprint emits; a LATER batch bringing a smaller
+    doc_id emits a corrected keeper row (append mode cannot retract, so
+    the sink is an upsert target keyed by fp — Iceberg MERGE in production,
+    and consumers take min(doc_id) per fp, which the driver query does).
+    Under a single micro-batch (the driver's one-file source) this is
+    exactly the batch arg_min(doc_id) oracle; under any batching, the
+    min-per-fp view of the output converges to it.
+
+    State TTL: pass `ttl_ms` to expire idle fingerprints via
+    ProcessingTimeTimeout — state is removed after `ttl_ms` without new
+    arrivals, after which a re-arriving fingerprint is re-admitted (the
+    bounded-state production configuration; None keeps state forever).
+    Harness note: with a processing-time timeout registered the engine
+    keeps scheduling timeout-processing micro-batches, so an
+    `availableNow` run does NOT self-terminate — production TTL streams
+    run under a processing-time trigger; tests poll the sink and stop."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
     keyed = docs_stream.select(fp.alias("fp"), "doc_id", "text")
 
     def fn(key, pdfs, state: GroupState):
-        if state.exists:
-            return  # fingerprint already emitted in an earlier batch
+        if state.hasTimedOut:
+            state.remove()  # idle past TTL: forget; next arrival re-admits
+            return
         best = None
         for pdf in pdfs:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if best is None or int(doc_id) < best[0]:
                     best = (int(doc_id), text)
-        if best is not None:
-            state.update((True,))
+        prev = state.get[0] if state.exists else None
+        if best is not None and (prev is None or best[0] < prev):
+            state.update((best[0],))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             yield pd.DataFrame(
                 [(key[0], best[0], best[1])],
                 columns=["fp", "doc_id", "text"],
             )
+        elif state.exists and ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # refresh on touch
 
     return keyed.groupBy("fp").applyInPandasWithState(
         fn,
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=_DEDUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
