@@ -39,7 +39,13 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    qmap = entrymod.queries()
+    qmap = dict(entrymod.queries())
+    # two r1/r2 headline queries left the 50-slot driver registry in r3
+    # (kg_top_surfaces: identical oracle to the salted twin; events_sessions:
+    # merged into events_sessionize) — keep benching the same callables so
+    # round-over-round per-query comparisons stay name-stable
+    qmap.setdefault("kg_top_surfaces", entrymod._q_top_surfaces)
+    qmap.setdefault("events_sessions", entrymod._q_events_sessions)
     headline = [
         "kg_mentions",
         "kg_anonymized",
@@ -95,6 +101,9 @@ def main() -> None:
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
+                # recorded so bench_regressions can warn when two rounds
+                # used different wall estimators (ADVICE r2)
+                "estimator": "best_of_2",
                 "queries": timings,
                 "sf": sf_key_for_dir(sf_dir),
                 "cores": cores,

@@ -30,10 +30,23 @@ def test_filter_pushdown_reaches_scan(spark, sf01):
 
 
 def test_scan_prunes_columns(spark, sf01):
-    """A 2-column projection must not read all lineitem columns."""
-    plan = _plan(em.queries()["tpch_filter_project"](spark, sf01))
+    """Unreferenced columns must prune from the scan, and the totalprice
+    filter must push down (tpch_window_topk absorbed tpch_filter_project
+    in r3)."""
+    plan = _plan(em.queries()["tpch_window_topk"](spark, sf01))
     assert "o_orderkey" in plan
-    assert "o_custkey" not in plan  # never referenced -> pruned from scan
+    assert "o_comment" not in plan  # never referenced -> pruned from scan
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
+def test_cooccurrence_runs_detection_once(spark, sf01):
+    """kg_entity_cooccurrence self-joins the per-turn refs: without the
+    lineage cut the detection kernel ran TWICE (VERDICT r2 #3).  The
+    localCheckpoint hides the kernel from the final plan entirely, so the
+    correct plan shows ZERO MapInPandas (and r2's broken one showed 2)."""
+    plan = _plan(em.queries()["kg_entity_cooccurrence"](spark, sf01))
+    assert plan.count("MapInPandas") == 0
+    assert "Scan ExistingRDD" in plan  # the checkpointed refs
 
 
 def test_detection_is_single_arrow_crossing(spark, sf01):
