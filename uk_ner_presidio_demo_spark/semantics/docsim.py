@@ -301,24 +301,33 @@ def doc_minhash_batch(texts) -> "list[list[int]]":
     return minhash_signatures_batch(hash_lists)
 
 
-def simhash64_batch(texts) -> "list[int]":
-    """Vectorized simhash64 over many docs: one (total_tokens, 64) bit
-    matrix + segmented column sums instead of a per-token per-bit Python
-    loop.  Sign rule identical (bit set iff strictly positive sum)."""
+def simhash64_batch(texts, chunk: int = 2048) -> "list[int]":
+    """Vectorized simhash64 over many docs, bit-identical to the scalar
+    twin.  Sign rule via bit SUMS: acc = sum(2b-1) = 2*sum(b) - n, so
+    "strictly positive acc" == 2*bit_sum > seg_len — which lets reduceat
+    aggregate the uint8 bit matrix directly (dtype=int64) with NO int32
+    contrib copy.  That shrinks the cold working set ~9x, and `chunk`
+    bounds it further: this VM charges ~100x for first-touch pages, and
+    the old one-shot (total_tokens, 64) int32 allocation cost ~31 s cold
+    on a single 5000-doc batch (the sf0.1 documents table is one parquet
+    split) vs ~1.2 s chunked-lean."""
     import numpy as np
 
-    tok_hashes: list[int] = []
-    nonempty: list[int] = []   # doc indices with >=1 token
-    ne_starts: list[int] = []  # segment start per non-empty doc
-    for i, text in enumerate(texts):
-        toks = text.lower().split()
-        if not toks:
-            continue  # empty token list -> simhash 0 (acc never positive)
-        nonempty.append(i)
-        ne_starts.append(len(tok_hashes))
-        tok_hashes.extend(_token_hash64(t) for t in toks)
     out = [0] * len(texts)
-    if tok_hashes:
+    for c0 in range(0, len(texts), chunk):
+        sub = texts[c0:c0 + chunk]
+        tok_hashes: list[int] = []
+        nonempty: list[int] = []   # doc indices with >=1 token
+        ne_starts: list[int] = []  # segment start per non-empty doc
+        for i, text in enumerate(sub):
+            toks = text.lower().split()
+            if not toks:
+                continue  # empty token list -> simhash 0 (never positive)
+            nonempty.append(i)
+            ne_starts.append(len(tok_hashes))
+            tok_hashes.extend(_token_hash64(t) for t in toks)
+        if not tok_hashes:
+            continue
         hs = np.array(tok_hashes, dtype=np.uint64)
         if hs.dtype.byteorder not in ("=", "<") or np.little_endian is False:
             hs = hs.astype("<u8")  # bit order below assumes little-endian
@@ -327,15 +336,15 @@ def simhash64_batch(texts) -> "list[int]":
         # slower than unpackbits)
         bits = np.unpackbits(
             hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int32)
-        contrib = 2 * bits - 1  # +1 / -1 per token per bit
+        )
         # reduceat over NON-EMPTY segments only (reduceat cannot express an
         # empty segment: equal/ending indices would grab neighboring rows)
         idx = np.asarray(ne_starts, dtype=np.int64)
-        acc = np.add.reduceat(contrib, idx, axis=0)  # (n_nonempty, 64)
-        pos = (acc > 0).astype(np.uint8)
+        acc_bits = np.add.reduceat(bits, idx, axis=0, dtype=np.int64)
+        seg_len = np.diff(np.append(idx, len(tok_hashes)))
+        pos = (2 * acc_bits > seg_len[:, None]).astype(np.uint8)
         vals = np.packbits(pos, axis=1, bitorder="little").copy().view("<u8")
         vals = vals.reshape(-1)
         for j, i in enumerate(nonempty):
-            out[i] = int(vals[j])
+            out[c0 + i] = int(vals[j])
     return out
