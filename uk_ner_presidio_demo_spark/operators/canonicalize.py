@@ -55,10 +55,22 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
 
-    endpoints = e_sym.select(F.col("src").alias("id")).distinct()
+    # Fused init == the old round 0: every endpoint starts at
+    # min(own id, min neighbor id) in ONE aggregation instead of an
+    # identity-labels checkpoint followed by a full propagation round.
+    # For star-shaped components (the dominant alias/LSH case, diameter 2)
+    # this is already the converged labeling, so the loop below runs a
+    # single no-change confirmation round.  Valid init for min-label
+    # propagation: every label is a member of the node's own component and
+    # >= the component min.
     labels = (
-        n.join(endpoints, "id", "left_semi")
-        .select("id", F.col("id").alias("label"))
+        e_sym.select(F.col("dst").alias("id"), F.col("src").alias("label"))
+        .unionByName(
+            e_sym.select(F.col("src").alias("id"),
+                         F.col("src").alias("label"))
+        )
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
         .localCheckpoint(eager=True)
     )
 
@@ -94,8 +106,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         )
         old = labels
         labels = new_labels
-        if it == 0:
-            continue  # first round always changes when any edge exists
+        # (with the fused init the first loop round CAN be a no-change
+        # confirmation — e.g. star components — so check every round)
         changed = (
             new_labels.alias("n")
             .join(old.alias("o"), "id")
