@@ -146,6 +146,42 @@ def canonical_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def incremental_canonical_update(new_mentions: DataFrame,
+                                 existing_canon: DataFrame,
+                                 broadcast_canon: bool = True) -> DataFrame:
+    """Delta canonicalization — the operator a production KG runs BETWEEN
+    full CC recomputes (the iterative CC is periodic/batch; SURVEY §2.8):
+    assign canonical ids to a new micro-batch of mentions against the
+    standing canonical-nodes table.
+
+      known  (entity_type, norm_surface) -> the existing canonical_id
+      unseen surfaces -> a deterministic PROVISIONAL id:
+          sha2("prov:" || entity_type || ":" || norm_surface)
+        Provisional ids are self-ids (each unseen surface is its own
+        cluster), so the next full CC recompute can only MERGE them —
+        never split — which keeps the delta path monotone-safe.
+
+    Output: (entity_type, norm_surface, canonical_id, provisional) one row
+    per distinct new entity.  `broadcast_canon` mirrors canonical_triples:
+    the canon dictionary broadcasts until it outgrows ~1 GB, then flip to
+    a shuffle join that AQE plans."""
+    ents = new_mentions.select("entity_type", "norm_surface").distinct()
+    canon_map = existing_canon.select(
+        "entity_type", "norm_surface", "canonical_id"
+    ).distinct()
+    side = F.broadcast(canon_map) if broadcast_canon else canon_map
+    joined = ents.join(side, ["entity_type", "norm_surface"], "left")
+    prov_id = F.sha2(
+        F.concat_ws(":", F.lit("prov"), "entity_type", "norm_surface"), 256
+    )
+    return joined.select(
+        "entity_type",
+        "norm_surface",
+        F.coalesce("canonical_id", prov_id).alias("canonical_id"),
+        F.col("canonical_id").isNull().alias("provisional"),
+    )
+
+
 def canonical_triples(triples: DataFrame, canon: DataFrame,
                       broadcast_refs: bool = True) -> DataFrame:
     """Rewrite triple subj/obj entity refs ("TYPE:norm") to canonical ids
