@@ -1,0 +1,86 @@
+"""Sequence packing: deterministic greedy first-fit per hash bucket — the
+Spark output must EXACTLY match a single-process oracle applying the same
+rule, at any parallelism, and every pack must respect the token budget."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from uk_ner_presidio_demo_spark.operators.packing import (
+    pack_documents, pack_stats,
+)
+from uk_ner_presidio_demo_spark.sources.tables import read_tpch
+
+BUDGET = 64
+N_BUCKETS = 8
+
+
+def _oracle(pdf: pd.DataFrame) -> set:
+    """Plain-Python twin of the packing rule over (doc_id, n_tokens,
+    bucket)."""
+    rows = set()
+    for bucket, grp in pdf.groupby("bucket"):
+        seq, used, pos = 0, 0, 0
+        for doc_id, n in sorted(zip(grp["doc_id"], grp["n_tokens"])):
+            n = int(n)
+            if n > BUDGET:
+                if used > 0:
+                    seq += 1
+                rows.add((f"{bucket}:{seq}", int(doc_id), n, 0, True))
+                seq += 1
+                used, pos = 0, 0
+                continue
+            if used + n > BUDGET and used > 0:
+                seq += 1
+                used, pos = 0, 0
+            rows.add((f"{bucket}:{seq}", int(doc_id), n, pos, False))
+            used += n
+            pos += 1
+    return rows
+
+
+def _expected(spark, sf01):
+    docs = read_tpch(spark, sf01, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int")
+        .alias("bucket"),
+    ).toPandas()
+    return _oracle(counted), counted
+
+
+def test_packing_matches_python_oracle(spark, sf01):
+    expected, counted = _expected(spark, sf01)
+    docs = read_tpch(spark, sf01, "documents")
+    got = pack_documents(docs, budget_tokens=BUDGET,
+                         n_buckets=N_BUCKETS).toPandas()
+    got_set = set(
+        map(tuple, got[["pack_id", "doc_id", "n_tokens", "pack_pos",
+                        "oversize"]].itertuples(index=False))
+    )
+    assert got_set == expected
+    assert len(got) == len(counted)  # every doc lands in exactly one pack
+
+
+def test_packing_is_partitioning_invariant(spark, sf01):
+    """Same output from a repartitioned input — the bucket key, not the
+    physical layout, defines the groups."""
+    docs = read_tpch(spark, sf01, "documents")
+    a = pack_documents(docs, BUDGET, N_BUCKETS).toPandas()
+    b = pack_documents(docs.repartition(3), BUDGET, N_BUCKETS).toPandas()
+    key = ["pack_id", "doc_id", "n_tokens", "pack_pos", "oversize"]
+    assert set(map(tuple, a[key].itertuples(index=False))) == set(
+        map(tuple, b[key].itertuples(index=False))
+    )
+
+
+def test_budget_respected_and_stats(spark, sf01):
+    docs = read_tpch(spark, sf01, "documents")
+    packs = pack_documents(docs, BUDGET, N_BUCKETS)
+    stats = pack_stats(packs, BUDGET).toPandas()
+    normal = stats[~stats["has_oversize"]]
+    assert (normal["pack_tokens"] <= BUDGET).all()
+    assert (normal["fill_ratio"] <= 1.0).all()
+    over = stats[stats["has_oversize"]]
+    assert (over["n_docs"] == 1).all()  # oversize docs pack alone

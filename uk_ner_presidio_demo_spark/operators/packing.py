@@ -1,0 +1,110 @@
+"""Sequence packing — group documents into fixed token-budget packs (the
+sample-packing step that turns a cleaned corpus into training batches;
+public pattern from T5/GPT-NeoX-style data pipelines).
+
+Determinism at any cluster size: packing is greedy WITHIN a hash bucket of
+doc_id (`pmod(xxhash64(doc_id), n_buckets)`), docs ordered by doc_id inside
+the bucket.  The bucket key — not Spark's physical partitioning — defines
+the packing groups, so the output is identical on 1 core or 1000 executors
+(same reasoning as the triples cogroup bucket, operators/triples.py).
+
+Scale shape: one shuffle on the bucket key, one applyInPandas pass whose
+state is a single running counter per group; pack ids are
+"<bucket>:<seq>" so they're globally unique without coordination.  Token
+counts are the whitespace tokenizer (textstats.token_count semantics) —
+swap in the BPE-ish counter by passing `bpe=True`.
+
+Oversized docs (n_tokens > budget) become single-doc packs flagged
+`oversize` — a real pipeline then truncates or splits them downstream;
+silently dropping them would misreport coverage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .textstats import BPE_TOKEN_PATTERN
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("pack_id", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("pack_pos", T.IntegerType()),
+        T.StructField("oversize", T.BooleanType()),
+    ]
+)
+
+
+def pack_documents(docs: DataFrame, budget_tokens: int = 2048,
+                   n_buckets: int | None = None,
+                   bpe: bool = False) -> DataFrame:
+    """(pack_id, doc_id, n_tokens, pack_pos, oversize): greedy first-fit
+    packing of docs into <= budget_tokens packs, deterministic per
+    (n_buckets, budget) regardless of physical partitioning."""
+    spark = docs.sparkSession
+    if n_buckets is None:
+        n_buckets = max(8, spark.sparkContext.defaultParallelism * 2)
+    if bpe:
+        n_tok = F.size(F.regexp_extract_all("text",
+                                            F.lit(BPE_TOKEN_PATTERN), 0))
+    else:
+        n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    counted = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        .alias("bucket"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        rows = []
+        seq, used, pos = 0, 0, 0
+        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            n = int(n)
+            oversize = n > budget_tokens
+            if oversize:
+                if used > 0:
+                    seq += 1
+                rows.append((f"{bucket}:{seq}", int(doc_id), n, 0, True))
+                seq += 1
+                used, pos = 0, 0
+                continue
+            if used + n > budget_tokens and used > 0:
+                seq += 1
+                used, pos = 0, 0
+            rows.append((f"{bucket}:{seq}", int(doc_id), n, pos, False))
+            used += n
+            pos += 1
+        return pd.DataFrame(
+            rows,
+            columns=["pack_id", "doc_id", "n_tokens", "pack_pos",
+                     "oversize"],
+        )
+
+    return counted.groupBy("bucket").applyInPandas(kernel, PACK_SCHEMA)
+
+
+def pack_stats(packs: DataFrame, budget_tokens: int = 2048) -> DataFrame:
+    """Per-pack fill metrics — the packing-efficiency report: (pack_id,
+    n_docs, pack_tokens, fill_ratio, has_oversize)."""
+    return (
+        packs.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.max(F.col("oversize").cast("int")).cast("boolean")
+            .alias("has_oversize"),
+        )
+        .select(
+            "pack_id", "n_docs", "pack_tokens",
+            (F.col("pack_tokens") / F.lit(float(budget_tokens)))
+            .alias("fill_ratio"),
+            "has_oversize",
+        )
+    )
