@@ -326,6 +326,49 @@ def _q_doc_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_exact(read_tpch(spark, sf_dir, "documents"))
 
 
+def _q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination audit (train/test-overlap): a synthetic
+    eval suite — case/whitespace-MANGLED copies (caught only through the
+    normalized fingerprint) and suffixed copies (caught by MinHash band
+    blocking across corpora + exact-Jaccard verify) of sampled docs — is
+    checked against the full corpus as the training side.  Fixture rule
+    shared with the oracle (oracle/docs_golden.py EVAL_* constants)."""
+    from uk_ner_presidio_demo_spark.operators.contamination import (
+        contamination_report,
+    )
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+        EVAL_MANGLE_MOD, EVAL_SAMPLE_MOD, EVAL_SUFFIX,
+    )
+
+    docs = read_tpch(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % EVAL_SAMPLE_MOD == 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % EVAL_MANGLE_MOD == 0,
+            F.regexp_replace(F.upper("text"), " ", "  "),
+        ).otherwise(F.concat("text", F.lit(EVAL_SUFFIX))).alias("text"),
+    )
+    return contamination_report(docs, test)
+
+
+def _q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy first-fit token-budget packs inside
+    xxhash64(doc_id) buckets — deterministic at any parallelism; the
+    oracle reproduces pack ids through the semantics.sparkhash twin."""
+    from uk_ner_presidio_demo_spark.operators.packing import pack_documents
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+        PACK_BUDGET_TOKENS, PACK_N_BUCKETS,
+    )
+
+    docs = read_tpch(spark, sf_dir, "documents")
+    packs = pack_documents(docs, budget_tokens=PACK_BUDGET_TOKENS,
+                           n_buckets=PACK_N_BUCKETS)
+    return packs.select(
+        "pack_id", "doc_id", "n_tokens",
+        F.col("pack_pos").cast("long").alias("pack_pos"), "oversize",
+    )
+
+
 def _q_doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: segment blocking + JVM bit_count hamming verify."""
     from uk_ner_presidio_demo_spark.operators.dedup import simhash_dups
@@ -923,17 +966,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_selective_anonymized": _q_selective_anonymized,
         "kg_highlight_segments": _q_highlight_segments,
         "kg_triples": _q_triples,
-        "kg_triple_counts": _q_triple_counts,
         "kg_triple_pr": _q_triple_pr,
         "kg_canonical_nodes": _q_canonical_nodes,
         "kg_canonical_triples": _q_canonical_triples,
         "kg_degree_distribution": _q_kg_degree_distribution,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
-        "doc_neardup_exact": _q_doc_neardup_exact,
         "doc_simhash_dups": _q_doc_simhash_dups,
         "doc_dedup_apply": _q_doc_dedup_apply,
         "doc_clean_corpus": _q_doc_clean_corpus,
+        "doc_contamination": _q_doc_contamination,
+        "doc_packing": _q_doc_packing,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
@@ -1083,9 +1126,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard_r6
             FROM read_parquet('{dg}/golden_neardup_minhash.parquet')
         """,
-        "doc_neardup_exact": f"""
-            SELECT doc_a, doc_b, jaccard_r6
-            FROM read_parquet('{dg}/golden_neardup_exact.parquet')
+        "doc_contamination": f"""
+            SELECT kind, test_doc_id, train_doc_id, score
+            FROM read_parquet('{dg}/golden_contamination.parquet')
+        """,
+        "doc_packing": f"""
+            SELECT pack_id, doc_id, n_tokens,
+                   CAST(pack_pos AS BIGINT) AS pack_pos, oversize
+            FROM read_parquet('{dg}/golden_packs.parquet')
         """,
         "doc_simhash_dups": f"""
             SELECT doc_a, doc_b, hamming
@@ -1238,10 +1286,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"""
             SELECT conv_id, turn_idx, subj, pred, obj
             FROM read_parquet('{gt}')
-        """,
-        "kg_triple_counts": f"""
-            SELECT pred, count(*) AS n_triples
-            FROM read_parquet('{gt}') GROUP BY pred
         """,
         "kg_triple_pr": f"""
             SELECT count(*) AS n_engine, count(*) AS n_golden,

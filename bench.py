@@ -55,6 +55,8 @@ def main() -> None:
         "kg_canonical_nodes",
         "doc_neardup_minhash",
         "doc_simhash_dups",
+        "doc_contamination",
+        "doc_packing",
         "ann_topk",
         "txt_quality",
         "tpch_agg",

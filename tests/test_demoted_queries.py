@@ -8,6 +8,10 @@ query keeps the SAME oracle check here that it had on the board:
   tpch_filter_project   — merged into tpch_window_topk
   tpch_union / cond_agg — merged into tpch_union_agg
   events_sessions       — merged into events_sessionize
+  doc_neardup_exact     — labeled quadratic baseline (VERDICT r2: "never
+                          promote"); board slot went to doc_contamination
+  kg_triple_counts      — trivial derivation of the hash-verified
+                          kg_triples; board slot went to doc_packing
 """
 
 import pytest
@@ -102,3 +106,32 @@ def test_filter_project_shape_lives_in_window_topk(spark, sf01):
     row = df.filter(F.col("rn") == 1).first()
     assert row["discounted"] > 90000.0  # 100000 * 0.9 lower bound
     assert len(row["prio_code"]) == 1
+
+
+def test_neardup_exact_matches_golden(spark, sf01):
+    """doc_neardup_exact (demoted r3 — labeled quadratic baseline) keeps
+    its golden-parquet oracle check."""
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+        ensure_docs_golden,
+    )
+
+    dg = ensure_docs_golden(sf01)
+    got = em._q_doc_neardup_exact(spark, sf01).toPandas()
+    want = __import__("pandas").read_parquet(
+        f"{dg}/golden_neardup_exact.parquet"
+    )
+    assert not compare_frames(got, want)
+
+
+def test_triple_counts_matches_golden_aggregate(spark, sf01):
+    """kg_triple_counts (demoted r3) still equals the per-predicate
+    aggregate over the golden triples."""
+    import duckdb
+
+    gt = em._golden("golden_triples")
+    got = em._q_triple_counts(spark, sf01).toPandas()
+    want = duckdb.execute(
+        f"SELECT pred, count(*) AS n_triples "
+        f"FROM read_parquet('{gt}') GROUP BY pred"
+    ).fetchdf()
+    assert not compare_frames(got, want)

@@ -159,3 +159,23 @@ def test_kmeans_trainer_collects_only_aggregates():
         if ".collect()" in line:
             ctx = src[: src.index(line) + len(line)]
             assert (".limit(KMEANS_K)" in ctx) or ("groupBy" in ctx), line
+
+
+def test_jaccard_verify_scores_candidates_once(spark, sf01):
+    """The threshold filter + rounded projection over the Jaccard UDF must
+    appear as ONE ArrowEvalPython node — Catalyst clones a deterministic
+    UDF call into both the Filter and the Project, scoring every candidate
+    pair twice (the asNondeterministic flag on _doc_jaccard_udf is the
+    guard)."""
+    for name in ("doc_neardup_minhash", "doc_contamination"):
+        plan = _plan(em.queries()[name](spark, sf01))
+        assert plan.count("ArrowEvalPython") == 1, name
+
+
+def test_packing_is_one_shuffle(spark, sf01):
+    """Sequence packing: exactly one exchange (the bucket key) feeding one
+    grouped-pandas kernel; no per-row Python, no extra shuffles."""
+    plan = _plan(em.queries()["doc_packing"](spark, sf01))
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan

@@ -76,6 +76,13 @@ def _doc_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([doc_jaccard(x, y) for x, y in zip(a, b)])
 
 
+# The UDF is pure, but flagging it nondeterministic stops Catalyst from
+# cloning the call into both the threshold Filter and the output Project
+# (the withColumn -> filter -> round pattern below otherwise shows TWO
+# ArrowEvalPython nodes — the whole candidate set scored twice).
+_doc_jaccard_udf = _doc_jaccard_udf.asNondeterministic()
+
+
 def neardup_minhash(docs: DataFrame) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify:
     (doc_a, doc_b, jaccard_r6).  The 100-TB path: candidate generation is

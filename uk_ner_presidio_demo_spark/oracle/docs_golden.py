@@ -4,6 +4,8 @@ sharing semantics.docsim verbatim.  Cached per sf under data/synth/."""
 
 from __future__ import annotations
 
+import hashlib
+import re
 from pathlib import Path
 
 import pandas as pd
@@ -15,7 +17,48 @@ from ..semantics.docsim import (
     emb_block_keys, rp_bucket, simhash64, simhash_segments, hamming64,
 )
 
-DOCS_GOLDEN_VERSION = 7
+DOCS_GOLDEN_VERSION = 8
+
+# Synthetic eval-suite fixture for the contamination audit (driver query
+# doc_contamination): every doc_id % EVAL_SAMPLE_MOD == 0 contributes one
+# eval item — of those, % EVAL_MANGLE_MOD == 0 becomes a case/whitespace
+# MANGLED copy (caught only through the normalized fingerprint, so the
+# exact level does real normalizer work), the rest get a fixed suffix
+# (caught by MinHash banding + Jaccard verify when the doc is long enough
+# to stay over the threshold).  The engine query (__spark_entry__
+# _q_doc_contamination) builds the same suite in Catalyst expressions.
+EVAL_SAMPLE_MOD = 5
+EVAL_MANGLE_MOD = 10
+EVAL_SUFFIX = " контрольне речення для аудиту перетину корпусів"
+
+# Sequence-packing driver-row parameters (engine twin:
+# operators/packing.py pack_documents) — fixed so the single-process
+# oracle reproduces the engine's xxhash64 bucket assignment exactly.
+PACK_BUDGET_TOKENS = 256
+PACK_N_BUCKETS = 32
+
+_JAVA_WS = r"[ \t\n\x0B\f\r]+"  # Java regex \s, spelled out for Python
+
+
+def mangle_text(text: str) -> str:
+    """Case/whitespace perturbation that PRESERVES the normalized
+    fingerprint (upper-case + doubled spaces; the engine normalizer
+    lower-cases and collapses whitespace)."""
+    return text.upper().replace(" ", "  ")
+
+
+def contamination_fp(text: str) -> str:
+    """Python twin of the engine's normalized fingerprint:
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) with Java \\s and
+    space-only trim semantics (operators/contamination.py)."""
+    norm = re.sub(_JAVA_WS, " ", text.strip(" ").lower())
+    return hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+
+def ws_token_count(text: str) -> int:
+    """Python twin of size(split(trim(text), '\\s+')) — Java split keeps
+    leading/trailing empty fields the same way re.split does."""
+    return len(re.split(_JAVA_WS, text.strip(" ")))
 
 
 def _sf_key(sf_dir: str) -> str:
@@ -108,6 +151,66 @@ def ensure_docs_golden(sf_dir: str) -> Path:
     pd.DataFrame(sim_rows, columns=["doc_a", "doc_b", "hamming"]).to_parquet(
         out_dir / "golden_simhash_dups.parquet", index=False
     )
+
+    # --- cross-corpus contamination audit (synthetic eval suite vs the
+    # full corpus as the training side; operators/contamination.py twin).
+    # `buckets` above still maps minhash band key -> [doc_id] for every
+    # train doc — reused as the train-side LSH index. ---
+    eval_texts = {
+        d: (mangle_text(t) if d % EVAL_MANGLE_MOD == 0 else t + EVAL_SUFFIX)
+        for d, t in texts.items() if d % EVAL_SAMPLE_MOD == 0
+    }
+    train_by_fp: dict[str, list[int]] = {}
+    for d, t in texts.items():
+        train_by_fp.setdefault(contamination_fp(t), []).append(d)
+    contam_rows = []
+    for ed, et in sorted(eval_texts.items()):
+        for td in sorted(train_by_fp.get(contamination_fp(et), [])):
+            contam_rows.append(("exact", ed, td, 1.0))
+    near_cand = set()
+    for ed, et in eval_texts.items():
+        for bk in doc_band_keys(doc_minhash(et)):
+            for td in buckets.get(bk, ()):
+                near_cand.add((ed, td))
+    for ed, td in sorted(near_cand):
+        jac = doc_jaccard(eval_texts[ed], texts[td])
+        if jac >= DOC_JACCARD_THRESHOLD:
+            contam_rows.append(("near", ed, td, round(jac, 6)))
+    pd.DataFrame(
+        contam_rows, columns=["kind", "test_doc_id", "train_doc_id", "score"]
+    ).to_parquet(out_dir / "golden_contamination.parquet", index=False)
+
+    # --- sequence packing (operators/packing.py twin): greedy first-fit
+    # inside xxhash64(doc_id) buckets, reproduced bit-for-bit through the
+    # semantics.sparkhash twin ---
+    from ..semantics.sparkhash import pmod, xxhash64_long
+
+    by_bucket: dict[int, list[int]] = {}
+    for d in sorted(texts):
+        by_bucket.setdefault(pmod(xxhash64_long(d), PACK_N_BUCKETS), []) \
+            .append(d)
+    pack_rows = []
+    for bucket, ids in by_bucket.items():
+        seq, used, pos = 0, 0, 0
+        for d in ids:  # doc_id-ascending inside the bucket
+            n = ws_token_count(texts[d])
+            if n > PACK_BUDGET_TOKENS:
+                if used > 0:
+                    seq += 1
+                pack_rows.append((f"{bucket}:{seq}", d, n, 0, True))
+                seq += 1
+                used, pos = 0, 0
+                continue
+            if used + n > PACK_BUDGET_TOKENS and used > 0:
+                seq += 1
+                used, pos = 0, 0
+            pack_rows.append((f"{bucket}:{seq}", d, n, pos, False))
+            used += n
+            pos += 1
+    pd.DataFrame(
+        pack_rows,
+        columns=["pack_id", "doc_id", "n_tokens", "pack_pos", "oversize"],
+    ).to_parquet(out_dir / "golden_packs.parquet", index=False)
 
     # --- ANN + near-dup over the shared numpy kernel ---
     import numpy as np
