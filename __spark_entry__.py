@@ -305,6 +305,26 @@ def _q_highlight_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data-pipeline operators: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
 
+def _q_txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (off-board: pytest-oracled against
+    an INDEPENDENT DuckDB SQL implementation, tests/test_repetition.py;
+    benched for the one-crossing/no-shuffle scale story)."""
+    from uk_ner_presidio_demo_spark.operators.repetition import (
+        repetition_stats,
+    )
+
+    return repetition_stats(read_tpch(spark, sf_dir, "documents"))
+
+
+def _q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30% hash-threshold subsample (off-board:
+    twin-exact-tested in tests/test_sampling.py; benched as the
+    scan-local sampling path)."""
+    from uk_ner_presidio_demo_spark.operators.sampling import hash_sample
+
+    return hash_sample(read_tpch(spark, sf_dir, "documents"), 0.3)
+
+
 def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
     from uk_ner_presidio_demo_spark.operators.dedup import exact_dedup

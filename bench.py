@@ -46,6 +46,10 @@ def main() -> None:
     # round-over-round per-query comparisons stay name-stable
     qmap.setdefault("kg_top_surfaces", entrymod._q_top_surfaces)
     qmap.setdefault("events_sessions", entrymod._q_events_sessions)
+    # off-board training-pipeline ops (pytest-oracled), benched for the
+    # scale story: one-crossing repetition kernel, scan-local sampling
+    qmap.setdefault("txt_repetition", entrymod._q_txt_repetition)
+    qmap.setdefault("doc_hash_sample", entrymod._q_doc_hash_sample)
     headline = [
         "kg_mentions",
         "kg_anonymized",
@@ -57,6 +61,8 @@ def main() -> None:
         "doc_simhash_dups",
         "doc_contamination",
         "doc_packing",
+        "doc_hash_sample",
+        "txt_repetition",
         "ann_topk",
         "txt_quality",
         "tpch_agg",
