@@ -77,6 +77,17 @@ def main() -> int:
         f"bench-regressions: {old_p.name} -> {new_p.name} "
         f"(total {old.get('value')}s -> {new.get('value')}s)"
     )
+    # like-for-like total over the shared query set — the headline list
+    # grows across rounds (r3 added 4 queries), so the raw totals are not
+    # directly comparable
+    common = set(oldq) & set(newq)
+    if common != set(newq) or common != set(oldq):
+        t_old = round(sum(oldq[q] for q in common), 3)
+        t_new = round(sum(newq[q] for q in common), 3)
+        print(
+            f"  comparable subtotal over {len(common)} shared queries: "
+            f"{t_old}s -> {t_new}s"
+        )
     for name, a, b, r in flagged:
         print(f"  REGRESSION {name}: {a}s -> {b}s ({r:.2f}x)")
     for name, a, b, r in improved:

@@ -79,3 +79,19 @@ def test_driver_sf_clean_corpus_is_nonvacuous(spark, sf01):
 
     n = em.queries()["doc_clean_corpus"](spark, sf01).count()
     assert n > 0
+
+
+def test_repetition_leg_is_optional_fourth_filter(spark):
+    """with_repetition=True adds the Gopher legs: a spammy repeated doc
+    that passes quality+language+dedup is killed only by repetition."""
+    spam = (6, "дуже якісне речення повторюється знову. " * 12)
+    docs = _docs(spark).union(
+        spark.createDataFrame([spam], "doc_id long, text string")
+    )
+    base = {r.doc_id for r in clean_corpus(docs, lang="uk").collect()}
+    strict = {
+        r.doc_id
+        for r in clean_corpus(docs, lang="uk", with_repetition=True).collect()
+    }
+    assert 6 in base            # passes the original three legs
+    assert strict == base - {6}  # repetition leg kills only the spam

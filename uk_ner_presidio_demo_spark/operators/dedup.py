@@ -225,13 +225,17 @@ def dedup_apply(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     ).select("doc_id", "text")
 
 
-def clean_corpus(docs: DataFrame, lang: str = "uk") -> DataFrame:
+def clean_corpus(docs: DataFrame, lang: str = "uk",
+                 with_repetition: bool = False) -> DataFrame:
     """C4-style cleaning composition: quality keep-flag AND target-language
     filter AND near-dup removal, in one declarative plan (filters are pure
     Catalyst; only the dup clustering iterates).  `lang` is the pipeline's
     target language ('uk' for the transcript corpus; the driver's
     documents table is Latin word-salad, so its query passes 'lat' — a
-    conjunction that keeps zero rows proves nothing, VERDICT r2 #3)."""
+    conjunction that keeps zero rows proves nothing, VERDICT r2 #3).
+    `with_repetition` adds the Gopher repetition legs
+    (operators/repetition.py) as a fourth semi-join — default off so the
+    driver row's golden stays stable."""
     from .textstats import lang_id, quality_score
 
     q = quality_score(docs).filter("keep").select("doc_id")
@@ -239,9 +243,17 @@ def clean_corpus(docs: DataFrame, lang: str = "uk") -> DataFrame:
         F.col("lang_guess") == lang
     ).select("doc_id")
     kept = dedup_apply(docs).select("doc_id")
-    return (
+    out = (
         docs.join(q, "doc_id", "left_semi")
         .join(lang_keep, "doc_id", "left_semi")
         .join(kept, "doc_id", "left_semi")
-        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    )
+    if with_repetition:
+        from .repetition import repetition_keep
+
+        out = out.join(
+            repetition_keep(docs).select("doc_id"), "doc_id", "left_semi"
+        )
+    return out.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
     )
