@@ -27,8 +27,44 @@ def _node_id(etype_col: str, surface_col: str):
     return F.concat_ws(":", F.col(etype_col), F.col(surface_col))
 
 
+# AQE-style physical-strategy gate for the CC loop: when the measured
+# EDGE count (the iterated working set — singletons never iterate) is
+# below this, the component structure is solved driver-side with
+# union-find and the labels broadcast back.  2e5 edges of ~60-byte string
+# ids is ~25 MB — broadcast-table-sized, far under Spark's own 8 GB
+# broadcast ceiling.  Above the gate (the 1e8+-surface vocabulary of a
+# real 100-TB corpus) the distributed min-label loop below runs
+# unchanged.  Rationale: each distributed iteration costs join+agg+
+# checkpoint job scheduling (~2.5 s wall for a 327-node graph at sf0.1),
+# which dwarfs the actual labeling work until the graph is huge.
+CC_LOCAL_MAX_EDGES = 200_000
+
+
+def _local_labels(pairs: list) -> list[tuple[str, str]]:
+    """Driver-side union-find (path-halving, min-id roots) over collected
+    edge rows — same converged labeling as min-label propagation."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = parent.get(x, x)
+        while parent.get(r, r) != r:
+            parent[r] = parent.get(parent[r], parent[r])
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for row in pairs:
+        ra, rb = find(row.src), find(row.dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         local_max_edges: int = CC_LOCAL_MAX_EDGES
+                         ) -> DataFrame:
     """nodes: (entity_type, norm_surface); edges: (entity_type, src, dst).
     Returns (entity_type, norm_surface, label) with label = min node-id of
     the component.
@@ -37,7 +73,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     ARE their own component — they take label = own id directly and never
     enter the iterative loop.  Only edge endpoints iterate, which shrinks
     the per-iteration join/agg by orders of magnitude on real entity
-    universes (most surfaces are unique)."""
+    universes (most surfaces are unique).
+
+    Physical strategy is size-gated (see CC_LOCAL_MAX_EDGES): small edge
+    sets are solved driver-side and broadcast; large ones iterate
+    distributed.  Both paths produce identical labelings
+    (tests/test_canonicalize.py property)."""
     n = nodes.select(
         "entity_type", "norm_surface",
         _node_id("entity_type", "norm_surface").alias("id"),
@@ -51,6 +92,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         _node_id("entity_type", "src").alias("src"),
         _node_id("entity_type", "dst").alias("dst"),
     ).localCheckpoint(eager=True)
+
+    if e.count() <= local_max_edges:
+        lbl = _local_labels(e.collect())
+        spark = nodes.sparkSession
+        labels = spark.createDataFrame(lbl, "id string, label string")
+        return n.join(F.broadcast(labels), "id", "left").select(
+            "entity_type",
+            "norm_surface",
+            F.coalesce("label", F.col("id")).alias("label"),
+        )
+
     e_sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
