@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", default="out/kg")
     ap.add_argument("--strategy", default="priority",
                     choices=["priority", "score"])
+    ap.add_argument("--pipeline", default="kg", choices=["kg", "corpus"],
+                    help="kg: transcript KG construction; corpus: "
+                         "training-corpus prep (clean/split/decontaminate/"
+                         "pack)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -47,15 +51,27 @@ def main(argv: list[str] | None = None) -> int:
         )
     spark = builder.getOrCreate()
 
-    from uk_ner_presidio_demo_spark.plans.pipeline import KGPipeline
+    if args.pipeline == "corpus":
+        from uk_ner_presidio_demo_spark.plans.corpus_pipeline import (
+            CorpusPipeline,
+        )
 
-    pipe = KGPipeline(
-        spark=spark,
-        sf_dir=args.sf_dir,
-        checkpoint_dir=args.checkpoint,
-        out_dir=args.out,
-        strategy=args.strategy,
-    )
+        pipe = CorpusPipeline(
+            spark=spark,
+            sf_dir=args.sf_dir,
+            checkpoint_dir=args.checkpoint,
+            out_dir=args.out,
+        )
+    else:
+        from uk_ner_presidio_demo_spark.plans.pipeline import KGPipeline
+
+        pipe = KGPipeline(
+            spark=spark,
+            sf_dir=args.sf_dir,
+            checkpoint_dir=args.checkpoint,
+            out_dir=args.out,
+            strategy=args.strategy,
+        )
     out = pipe.run()
     for r in pipe.results:
         print(
@@ -63,7 +79,13 @@ def main(argv: list[str] | None = None) -> int:
             f"{'SKIP' if r.skipped else 'RUN '} rows={r.rows} "
             f"wall={r.wall_sec}s"
         )
-    print(f"nodes={out['nodes'].count()} edges={out['edges'].count()}")
+    if args.pipeline == "corpus":
+        print(
+            f"train_clean={out['train_clean'].count()} "
+            f"packs={out['pack_stats'].count()}"
+        )
+    else:
+        print(f"nodes={out['nodes'].count()} edges={out['edges'].count()}")
     spark.stop()
     return 0
 

@@ -1,0 +1,113 @@
+"""End-to-end staged TRAINING-CORPUS pipeline — the document-side twin of
+the KG pipeline (plans/pipeline.py), composing the training-data operators
+into the flow a real 100-TB data-prep run executes:
+
+    scan documents
+      -> profile          (token/char/lang/quality features, scan-local)
+      -> clean            (quality AND lang AND near-dup AND repetition)
+      -> split            (deterministic hash train/eval split)
+      -> decontaminate    (drop train docs leaking into the eval slice,
+                           exact + MinHash-near levels)
+      -> pack             (greedy token-budget packs in xxhash64 buckets)
+      -> pack_stats + metrics table
+
+Same checkpoint contract as the KG pipeline (StagedPipeline): each stage
+writes parquet + a _MANIFEST.json with chained input fingerprints,
+per-partition lineage counts, and wall time; re-running with unchanged
+inputs SKIPs every stage.  Resumability and lineage are inherited, not
+re-implemented.
+
+Scale notes per stage: profile/split are scan-local (no shuffle); clean's
+legs are left-semi joins with only the dup clustering iterating (size-
+gated CC); decontaminate broadcasts the eval slice (benchmark-sized by
+construction) against the train side; pack shuffles once on the logical
+bucket key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.contamination import decontaminate
+from ..operators.dedup import clean_corpus
+from ..operators.packing import pack_documents, pack_stats
+from ..operators.sampling import train_eval_split
+from ..operators.textstats import lang_quality, text_profile
+from ..sources.tables import read_tpch
+from .pipeline import StagedPipeline, _fingerprint_path
+
+PACK_BUDGET = 256
+PACK_BUCKETS = 32
+EVAL_FRACTION = 0.05
+
+
+@dataclass
+class CorpusPipeline(StagedPipeline):
+    lang: str = "lat"          # the driver corpus is Latin word-salad
+    eval_fraction: float = EVAL_FRACTION
+
+    def run(self) -> dict[str, DataFrame]:
+        spark = self.spark
+        docs = read_tpch(spark, self.sf_dir, "documents")
+        fp_src = _fingerprint_path(Path(self.sf_dir) / "documents.parquet")
+
+        profile = self._stage(
+            "profile", fp_src,
+            lambda: text_profile(docs).join(
+                lang_quality(docs).drop("n_tokens"), "doc_id"
+            ),
+        )
+
+        fp_clean = f"{fp_src}|lang={self.lang}|rep"
+        cleaned_ids = self._stage(
+            "clean", fp_clean,
+            lambda: clean_corpus(docs, lang=self.lang, with_repetition=True),
+        )
+        cleaned = docs.join(
+            cleaned_ids.select("doc_id"), "doc_id", "left_semi"
+        )
+
+        fp_split = f"{fp_clean}|eval={self.eval_fraction}"
+        split = self._stage(
+            "split", fp_split,
+            lambda: train_eval_split(cleaned, self.eval_fraction)
+            .select("doc_id", "split"),
+        )
+        train = cleaned.join(
+            split.filter(F.col("split") == "train").select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        eval_docs = cleaned.join(
+            split.filter(F.col("split") == "eval").select("doc_id"),
+            "doc_id", "left_semi",
+        )
+
+        decon = self._stage(
+            "decontaminate", fp_split + "|decon",
+            lambda: decontaminate(train, eval_docs),
+        )
+
+        fp_pack = fp_split + f"|budget={PACK_BUDGET}|b={PACK_BUCKETS}"
+        packs = self._stage(
+            "pack", fp_pack,
+            lambda: pack_documents(decon, budget_tokens=PACK_BUDGET,
+                                   n_buckets=PACK_BUCKETS),
+        )
+        stats = self._stage(
+            "pack_stats", fp_pack + "|stats",
+            lambda: pack_stats(packs, PACK_BUDGET),
+        )
+
+        self._write_metrics()
+        return {
+            "profile": profile,
+            "clean": cleaned_ids,
+            "split": split,
+            "train_clean": decon,
+            "packs": packs,
+            "pack_stats": stats,
+        }

@@ -65,12 +65,15 @@ class StageResult:
 
 
 @dataclass
-class KGPipeline:
+class StagedPipeline:
+    """Shared run-or-resume stage machinery (checkpoints + manifests +
+    per-partition lineage + metrics) — base of the KG pipeline below and
+    the corpus pipeline (plans/corpus_pipeline.py)."""
+
     spark: SparkSession
     sf_dir: str
     checkpoint_dir: str
     out_dir: str
-    strategy: str = "priority"
     results: list[StageResult] = field(default_factory=list)
 
     def _ckpt(self, stage: str) -> Path:
@@ -127,6 +130,27 @@ class KGPipeline:
         )
         self.results.append(StageResult(stage, False, rows, wall))
         return out
+
+    # ---- metrics / lineage (shared) -----------------------------------------
+
+    def _write_metrics(self) -> None:
+        rows = [
+            (r.stage, r.skipped, r.rows, r.wall_sec,
+             time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+            for r in self.results
+        ]
+        df = self.spark.createDataFrame(
+            rows, "stage string, skipped boolean, rows long, wall_sec double,"
+                  " run_at string"
+        )
+        df.coalesce(1).write.mode("append").parquet(
+            str(Path(self.out_dir) / "metrics")
+        )
+
+
+@dataclass
+class KGPipeline(StagedPipeline):
+    strategy: str = "priority"
 
     # ---- run ---------------------------------------------------------------
 
@@ -235,19 +259,3 @@ class KGPipeline:
             "nodes": self.spark.read.parquet(str(out / "nodes")),
             "edges": self.spark.read.parquet(str(out / "edges")),
         }
-
-    # ---- metrics / lineage --------------------------------------------------
-
-    def _write_metrics(self) -> None:
-        rows = [
-            (r.stage, r.skipped, r.rows, r.wall_sec,
-             time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
-            for r in self.results
-        ]
-        df = self.spark.createDataFrame(
-            rows, "stage string, skipped boolean, rows long, wall_sec double,"
-                  " run_at string"
-        )
-        df.coalesce(1).write.mode("append").parquet(
-            str(Path(self.out_dir) / "metrics")
-        )
