@@ -1,0 +1,74 @@
+"""Stream-static contamination gating: exact leaks dropped at ingest
+across micro-batches; near-level band collisions surfaced as alerts."""
+
+import pandas as pd
+
+from uk_ner_presidio_demo_spark.streaming.corpus_stream import (
+    streaming_contamination_alerts, streaming_decontaminate,
+)
+from uk_ner_presidio_demo_spark.streaming.detect_stream import (
+    run_available_now,
+)
+
+_LEAK = "Це речення з еталонного тестового набору яке не можна тренувати"
+_NEAR_BASE = (
+    "Довгий унікальний документ про синій океан і високі гори зі "
+    "словами що повторюються у тестовому наборі майже дослівно "
+    "і ще багато додаткових слів для стабільного мінхешу "
+    "перший другий третій четвертий пятий шостий сьомий восьмий"
+)
+
+
+def _stream(spark, tmp_path, rows):
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "batch"])
+    for b in sorted(pdf["batch"].unique()):
+        pdf[pdf["batch"] == b][["doc_id", "text"]].astype(
+            {"text": "string"}
+        ).to_parquet(src / f"part-{b}.parquet", index=False)
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def _eval_docs(spark):
+    return spark.createDataFrame(
+        [(9001, _LEAK), (9002, _NEAR_BASE)], "doc_id long, text string"
+    )
+
+
+def test_exact_gate_drops_leaks_in_every_batch(spark, tmp_path):
+    rows = [
+        (0, "чистий документ номер нуль", 0),
+        (1, _LEAK.upper(), 0),                # case-mangled leak, batch 0
+        (2, "чистий документ номер два", 1),
+        (3, "  " + _LEAK + "  ", 1),          # ws-mangled leak, batch 1
+        (4, "чистий документ номер чотири", 2),
+    ]
+    got = run_available_now(
+        streaming_decontaminate(_stream(spark, tmp_path, rows),
+                                _eval_docs(spark)),
+        "stream_decon", str(tmp_path / "ck"), "append",
+    ).toPandas()
+    assert set(got["doc_id"]) == {0, 2, 4}
+    assert list(got.columns) == ["doc_id", "text"]  # schema-preserving
+
+
+def test_alerts_surface_near_candidates(spark, tmp_path):
+    near = _NEAR_BASE + " додаток"            # near-dup of eval 9002
+    rows = [
+        (0, "цілком інший зміст без перетину з тестами", 0),
+        (1, near, 1),
+    ]
+    got = run_available_now(
+        streaming_contamination_alerts(_stream(spark, tmp_path, rows),
+                                       _eval_docs(spark)),
+        "stream_alerts", str(tmp_path / "ck2"), "append",
+    ).toPandas()
+    pairs = set(map(tuple, got[["doc_id", "eval_doc_id"]]
+                    .drop_duplicates().itertuples(index=False)))
+    assert (1, 9002) in pairs
+    assert all(d != 0 for d, _ in pairs)  # the unrelated doc never alerts
