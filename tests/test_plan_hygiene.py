@@ -179,3 +179,13 @@ def test_packing_is_one_shuffle(spark, sf01):
     assert plan.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_canonical_triples_runs_detection_once(spark, sf01):
+    """kg_canonical_triples feeds mentions to BOTH linking and triple
+    emission — the lineage cut must keep the detection kernel out of the
+    final plan entirely (it runs once, eagerly, at construction; the r2
+    cooccurrence double-kernel defect pattern)."""
+    plan = _plan(em.queries()["kg_canonical_triples"](spark, sf01))
+    assert plan.count("MapInPandas") == 0
+    assert plan.count("FlatMapCoGroupsInPandas") == 1  # the triples cogroup
