@@ -330,6 +330,17 @@ def _q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(read_tpch(spark, sf_dir, "documents"), 0.3)
 
 
+def _q_doc_partial_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup via content-defined chunking (off-board:
+    twin-tested in tests/test_chunking.py; benched for the
+    chunk-join scale story)."""
+    from uk_ner_presidio_demo_spark.operators.chunking import (
+        partial_overlap_pairs,
+    )
+
+    return partial_overlap_pairs(read_tpch(spark, sf_dir, "documents"))
+
+
 def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
     from uk_ner_presidio_demo_spark.operators.dedup import exact_dedup

@@ -50,6 +50,7 @@ def main() -> None:
     # scale story: one-crossing repetition kernel, scan-local sampling
     qmap.setdefault("txt_repetition", entrymod._q_txt_repetition)
     qmap.setdefault("doc_hash_sample", entrymod._q_doc_hash_sample)
+    qmap.setdefault("doc_partial_overlap", entrymod._q_doc_partial_overlap)
     headline = [
         "kg_mentions",
         "kg_anonymized",
@@ -62,6 +63,7 @@ def main() -> None:
         "doc_contamination",
         "doc_packing",
         "doc_hash_sample",
+        "doc_partial_overlap",
         "txt_repetition",
         "ann_topk",
         "txt_quality",
