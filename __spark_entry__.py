@@ -330,6 +330,16 @@ def _q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(read_tpch(spark, sf_dir, "documents"), 0.3)
 
 
+def _q_txt_freq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact corpus-frequency profile (the CCNet perplexity-filter
+    stand-in; off-board: live-SQL-oracled in tests/test_repetition.py)."""
+    from uk_ner_presidio_demo_spark.operators.textstats import (
+        doc_freq_profile,
+    )
+
+    return doc_freq_profile(read_tpch(spark, sf_dir, "documents"))
+
+
 def _q_doc_partial_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup via content-defined chunking (off-board:
     twin-tested in tests/test_chunking.py; benched for the

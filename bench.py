@@ -51,6 +51,7 @@ def main() -> None:
     qmap.setdefault("txt_repetition", entrymod._q_txt_repetition)
     qmap.setdefault("doc_hash_sample", entrymod._q_doc_hash_sample)
     qmap.setdefault("doc_partial_overlap", entrymod._q_doc_partial_overlap)
+    qmap.setdefault("txt_freq_profile", entrymod._q_txt_freq_profile)
     headline = [
         "kg_mentions",
         "kg_anonymized",
@@ -65,6 +66,7 @@ def main() -> None:
         "doc_hash_sample",
         "doc_partial_overlap",
         "txt_repetition",
+        "txt_freq_profile",
         "ann_topk",
         "txt_quality",
         "tpch_agg",

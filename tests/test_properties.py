@@ -227,3 +227,46 @@ class TestVectorizedTwins:
 
         assert doc_minhash_batch(texts) == [doc_minhash(t) for t in texts]
         assert simhash64_batch(texts) == [simhash64(t) for t in texts]
+
+
+class TestChunkerInvariants:
+    """Content-defined chunker (semantics/chunking.py): structural
+    invariants over arbitrary texts."""
+
+    @given(st.text(alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd", "Zs")), max_size=2000))
+    @settings(max_examples=200, deadline=None)
+    def test_chunks_cover_contiguously_within_bounds(self, text):
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            MAX_CHUNK, token_chunks,
+        )
+
+        toks = text.lower().split()
+        chunks = token_chunks(text)
+        if not toks:
+            assert chunks == []
+            return
+        assert chunks[0][0] == 0 and chunks[-1][1] == len(toks)
+        for (s1, e1, _), (s2, e2, _) in zip(chunks, chunks[1:]):
+            assert s2 == e1
+        for s, e, h in chunks:
+            assert 0 < e - s <= MAX_CHUNK
+            assert len(h) == 32  # md5 hex
+
+    @given(st.text(max_size=500))
+    @settings(max_examples=100, deadline=None)
+    def test_chunk_hash_is_span_content_only(self, text):
+        """Equal token spans => equal hashes regardless of position: the
+        whole doc re-chunked after a fixed long prefix must reproduce any
+        chunk whose token span survived intact."""
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            token_chunks,
+        )
+
+        import hashlib
+        toks = text.lower().split()
+        for s, e, h in token_chunks(text):
+            want = hashlib.md5(
+                " ".join(toks[s:e]).encode("utf-8")
+            ).hexdigest()
+            assert h == want

@@ -86,3 +86,34 @@ def test_repetition_plan_is_single_crossing_no_shuffle(spark, sf01):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+FREQ_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) t WHERE t.token <> ''
+),
+counts AS (SELECT token, count(*) AS tok_count FROM toks GROUP BY token)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tok_count) AS BIGINT) AS freq_mass,
+       CAST(sum(CASE WHEN tok_count = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+       CAST(sum(tok_count) AS BIGINT) / CAST(count(*) AS BIGINT)
+           AS mean_tok_freq
+FROM toks JOIN counts USING (token)
+GROUP BY doc_id
+"""
+
+
+def test_doc_freq_profile_matches_live_sql(spark, sf01):
+    from uk_ner_presidio_demo_spark.operators.textstats import (
+        doc_freq_profile,
+    )
+
+    got = doc_freq_profile(read_tpch(spark, sf01, "documents")).toPandas()
+    want = duckdb_conn(sf01).execute(FREQ_ORACLE_SQL).fetchdf()
+    assert not compare_frames(got, want)

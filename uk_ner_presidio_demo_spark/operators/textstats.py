@@ -206,3 +206,41 @@ def stopword_stats(docs: DataFrame) -> DataFrame:
             (F.col("n_stopwords") / F.col("n_tokens")).alias("stopword_ratio"),
         )
     )
+
+
+def doc_freq_profile(docs: DataFrame) -> DataFrame:
+    """Per-document corpus-frequency profile — the integer-exact stand-in
+    for the CCNet/C4 LM-perplexity filter (low mean token frequency and a
+    high hapax share mark 'surprising' text; boilerplate scores high):
+    (doc_id, n_tokens, freq_mass, n_hapax, mean_tok_freq).
+
+    freq_mass = sum over the doc's tokens of each token's CORPUS count —
+    an int64 sum, exact under any aggregation order (a log-prob sum would
+    be both order- and libm-dependent vs the oracle, see unigram_probs);
+    mean_tok_freq is the single int/int IEEE division at the end.  Shape:
+    explode + two-phase token-count agg + equi-join + per-doc agg, all
+    Catalyst, two shuffles (token, then doc_id)."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("tok_count"))
+    return (
+        toks.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("tok_count").cast("long").alias("freq_mass"),
+            F.sum(F.when(F.col("tok_count") == 1, 1).otherwise(0))
+            .cast("long").alias("n_hapax"),
+        )
+        .select(
+            "doc_id", "n_tokens", "freq_mass", "n_hapax",
+            (F.col("freq_mass") / F.col("n_tokens")).alias("mean_tok_freq"),
+        )
+    )
