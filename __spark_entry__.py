@@ -330,6 +330,14 @@ def _q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(read_tpch(spark, sf_dir, "documents"), 0.3)
 
 
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN (off-board: exact-twin + recall-floor tested in
+    tests/test_similarity.py; benched for the memory-scale story)."""
+    from uk_ner_presidio_demo_spark.operators.similarity import ann_topk_pq
+
+    return ann_topk_pq(read_tpch(spark, sf_dir, "embeddings"))
+
+
 def _q_txt_freq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact corpus-frequency profile (the CCNet perplexity-filter
     stand-in; off-board: live-SQL-oracled in tests/test_repetition.py)."""

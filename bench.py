@@ -52,6 +52,7 @@ def main() -> None:
     qmap.setdefault("doc_hash_sample", entrymod._q_doc_hash_sample)
     qmap.setdefault("doc_partial_overlap", entrymod._q_doc_partial_overlap)
     qmap.setdefault("txt_freq_profile", entrymod._q_txt_freq_profile)
+    qmap.setdefault("ann_pq_topk", entrymod._q_ann_pq_topk)
     headline = [
         "kg_mentions",
         "kg_anonymized",
@@ -68,6 +69,7 @@ def main() -> None:
         "txt_repetition",
         "txt_freq_profile",
         "ann_topk",
+        "ann_pq_topk",
         "txt_quality",
         "tpch_agg",
         "tpch_broadcast_join",

@@ -61,3 +61,68 @@ def test_distributed_kmeans_bit_identical_to_oracle_trainer(spark, sf01):
     mat = np.array([[float(x) for x in v] for v in pdf["embedding"]])
     want = kmeans_train(mat)
     assert np.array_equal(got, want)  # bit-identical, not just close
+
+
+def test_ann_pq_matches_single_process_twin(spark, sf01):
+    """PQ ANN: the Spark kernel (sample-trained codebooks, uint8 encode,
+    ADC scoring, batch-local + window top-k) must EXACTLY reproduce the
+    single-process twin built from the same semantics/pq.py functions."""
+    import numpy as np
+    import pandas as pd
+
+    from uk_ner_presidio_demo_spark.operators.similarity import ann_topk_pq
+    from uk_ner_presidio_demo_spark.semantics.docsim import ANN_K
+    from uk_ner_presidio_demo_spark.semantics.pq import (
+        PQ_TRAIN_SAMPLE, pq_adc_cosine, pq_encode, pq_train,
+    )
+
+    emb = pd.read_parquet(f"{sf01}/embeddings.parquet")
+    by = {int(r.vec_id): [float(x) for x in r.embedding]
+          for r in emb.itertuples(index=False)}
+    vids = sorted(by)
+    mat = np.array([by[v] for v in vids], dtype=np.float64)
+    cids = np.array(vids)
+    books = pq_train(mat[:PQ_TRAIN_SAMPLE])
+    codes = pq_encode(mat, books)
+    qids = [v for v in vids if v % 25 == 0]
+    qmat = np.array([by[q] for q in qids], dtype=np.float64)
+    sims = pq_adc_cosine(qmat, codes, books)
+    want = set()
+    for qi, q in enumerate(qids):
+        col = sims[:, qi]
+        idx = np.nonzero(cids != q)[0]
+        order = np.lexsort((cids[idx], -col[idx]))[:ANN_K]
+        for rank, j in enumerate(idx[order], 1):
+            want.add((q, int(cids[j]), rank, round(float(col[j]), 6)))
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["sim_r6"])
+        for r in ann_topk_pq(
+            _read_emb(spark, sf01)).collect()
+    }
+    assert got == want
+
+
+def test_ann_pq_recall_floor_vs_exact(spark, sf01):
+    """Quality gate: recall@10 vs the exact brute-force golden.  The
+    synthetic embeddings are RANDOM — PQ's pathological case (no cluster
+    structure for the codebooks to exploit), measured mean recall ~0.32
+    here; real clustered embeddings fare far better.  The floor guards
+    against implementation regressions, not PQ's intrinsic quality."""
+    import pandas as pd
+
+    from uk_ner_presidio_demo_spark.operators.similarity import ann_topk_pq
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+        ensure_docs_golden,
+    )
+    from uk_ner_presidio_demo_spark.semantics.docsim import ANN_K
+
+    dg = ensure_docs_golden(sf01)
+    gold = pd.read_parquet(f"{dg}/golden_ann_topk.parquet")
+    gold_sets = gold.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    got = ann_topk_pq(_read_emb(spark, sf01)).toPandas()
+    recalls = [
+        len(set(grp["neighbor_id"]) & gold_sets[q]) / ANN_K
+        for q, grp in got.groupby("query_id")
+    ]
+    assert sum(recalls) / len(recalls) >= 0.15

@@ -59,9 +59,11 @@ def _collect_queries(emb: DataFrame) -> tuple[list[int], "np.ndarray"]:
 
 
 def _topk_scored(emb: DataFrame, qids: list[int], qmat: "np.ndarray",
-                 k: int, qbuckets: list[int] | None) -> DataFrame:
+                 k: int, qbuckets: list[int] | None,
+                 scorer=None) -> DataFrame:
     """Batch-local top-k scoring kernel; qbuckets (parallel to qids)
-    restricts each query to candidates in its LSH bucket."""
+    restricts each query to candidates in its LSH bucket; `scorer(cmat)`
+    overrides the exact-cosine score matrix (PQ's ADC path)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,7 +74,8 @@ def _topk_scored(emb: DataFrame, qids: list[int], qmat: "np.ndarray",
                 [[float(x) for x in v] for v in pdf["embedding"]],
                 dtype=np.float64,
             )
-            sims = cosine_matrix(qmat, cmat)  # (nc, nq)
+            sims = scorer(cmat) if scorer is not None \
+                else cosine_matrix(qmat, cmat)  # (nc, nq)
             if qbuckets is not None:
                 cbuckets = np.array(
                     [rp_bucket([float(x) for x in v])
@@ -122,6 +125,36 @@ def ann_topk_lsh(emb: DataFrame, k: int = ANN_K) -> DataFrame:
     qids, qmat = _collect_queries(emb)
     qbuckets = [rp_bucket(list(qmat[i])) for i in range(len(qids))]
     return _topk_scored(emb, qids, qmat, k, qbuckets)
+
+
+def ann_topk_pq(emb: DataFrame, k: int = ANN_K) -> DataFrame:
+    """Product-quantization ANN (semantics/pq.py): codebooks trained on
+    the deterministic vec_id-ascending head sample, every vector encoded
+    to PQ_M uint8 codes inside the scoring kernel, ADC approx-cosine
+    against the reconstructed centroids.  THE memory-scale path: 8 B of
+    codes replace 256 B of floats, so a 100-TB embedding corpus's code
+    table fits in cluster RAM; in a full deployment the codes are
+    precomputed once and the raw-vector scan disappears from the query
+    path entirely."""
+    from ..semantics.pq import (
+        PQ_TRAIN_SAMPLE, pq_adc_cosine, pq_encode, pq_train,
+    )
+
+    qids, qmat = _collect_queries(emb)
+    sample_rows = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE)
+        .select("embedding").collect()
+    )
+    sample = np.array(
+        [[float(x) for x in r.embedding] for r in sample_rows],
+        dtype=np.float64,
+    )
+    books = pq_train(sample)
+
+    def scorer(cmat: "np.ndarray") -> "np.ndarray":
+        return pq_adc_cosine(qmat, pq_encode(cmat, books), books)
+
+    return _topk_scored(emb, qids, qmat, k, None, scorer=scorer)
 
 
 def kmeans_centroids_distributed(emb: DataFrame) -> "np.ndarray":
