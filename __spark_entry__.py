@@ -338,6 +338,16 @@ def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_pq(read_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (off-board: exact-twin tested in
+    tests/test_similarity.py)."""
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        ann_topk_ivfpq,
+    )
+
+    return ann_topk_ivfpq(read_tpch(spark, sf_dir, "embeddings"))
+
+
 def _q_txt_freq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact corpus-frequency profile (the CCNet perplexity-filter
     stand-in; off-board: live-SQL-oracled in tests/test_repetition.py)."""

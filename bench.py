@@ -53,6 +53,7 @@ def main() -> None:
     qmap.setdefault("doc_partial_overlap", entrymod._q_doc_partial_overlap)
     qmap.setdefault("txt_freq_profile", entrymod._q_txt_freq_profile)
     qmap.setdefault("ann_pq_topk", entrymod._q_ann_pq_topk)
+    qmap.setdefault("ann_ivfpq_topk", entrymod._q_ann_ivfpq_topk)
     headline = [
         "kg_mentions",
         "kg_anonymized",
@@ -70,6 +71,7 @@ def main() -> None:
         "txt_freq_profile",
         "ann_topk",
         "ann_pq_topk",
+        "ann_ivfpq_topk",
         "txt_quality",
         "tpch_agg",
         "tpch_broadcast_join",

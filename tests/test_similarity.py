@@ -126,3 +126,51 @@ def test_ann_pq_recall_floor_vs_exact(spark, sf01):
         for q, grp in got.groupby("query_id")
     ]
     assert sum(recalls) / len(recalls) >= 0.15
+
+
+def test_ann_ivfpq_matches_single_process_twin(spark, sf01):
+    """IVF-PQ composite: coarse-cell probe pruning + ADC scoring must
+    EXACTLY reproduce the single-process twin (distributed k-means cells
+    are bit-identical to the oracle trainer; PQ books/codes shared)."""
+    import numpy as np
+    import pandas as pd
+
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        ann_topk_ivfpq, kmeans_centroids_distributed,
+    )
+    from uk_ner_presidio_demo_spark.semantics.docsim import (
+        ANN_K, IVF_NPROBE, ivf_cell, ivf_probe_cells,
+    )
+    from uk_ner_presidio_demo_spark.semantics.pq import (
+        PQ_TRAIN_SAMPLE, pq_adc_cosine, pq_encode, pq_train,
+    )
+
+    emb = pd.read_parquet(f"{sf01}/embeddings.parquet")
+    by = {int(r.vec_id): [float(x) for x in r.embedding]
+          for r in emb.itertuples(index=False)}
+    vids = sorted(by)
+    mat = np.array([by[v] for v in vids], dtype=np.float64)
+    cids = np.array(vids)
+    cent = kmeans_centroids_distributed(_read_emb(spark, sf01))
+    cells = np.array([ivf_cell(by[v], centroids=cent) for v in vids])
+    books = pq_train(mat[:PQ_TRAIN_SAMPLE])
+    codes = pq_encode(mat, books)
+    qids = [v for v in vids if v % 25 == 0]
+    qmat = np.array([by[q] for q in qids], dtype=np.float64)
+    sims = pq_adc_cosine(qmat, codes, books)
+    want = set()
+    for qi, q in enumerate(qids):
+        probes = np.array(
+            ivf_probe_cells(by[q], IVF_NPROBE, centroids=cent))
+        col = sims[:, qi]
+        mask = (cids != q) & np.isin(cells, probes)
+        idx = np.nonzero(mask)[0]
+        order = np.lexsort((cids[idx], -col[idx]))[:ANN_K]
+        for rank, j in enumerate(idx[order], 1):
+            want.add((q, int(cids[j]), rank, round(float(col[j]), 6)))
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["sim_r6"])
+        for r in ann_topk_ivfpq(_read_emb(spark, sf01)).collect()
+    }
+    assert got == want and got

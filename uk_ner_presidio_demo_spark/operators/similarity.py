@@ -157,6 +157,39 @@ def ann_topk_pq(emb: DataFrame, k: int = ANN_K) -> DataFrame:
     return _topk_scored(emb, qids, qmat, k, None, scorer=scorer)
 
 
+def ann_topk_ivfpq(emb: DataFrame, k: int = ANN_K,
+                   nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-PQ composite (the FAISS IVFPQ shape): trained coarse cells
+    prune WHICH vectors each query scans (nprobe nearest cells), PQ codes
+    shrink WHAT is scanned (8 B ADC lookups instead of 256 B exact
+    cosine) — the two pruning axes a real 100-TB ANN deployment composes.
+    Both components reuse their deterministic trainers (distributed
+    int64-quantized k-means; head-sample PQ codebooks), so the
+    single-process twin reproduces the output exactly."""
+    from ..semantics.pq import (
+        PQ_TRAIN_SAMPLE, pq_adc_cosine, pq_encode, pq_train,
+    )
+
+    cent = kmeans_centroids_distributed(emb)
+    sample_rows = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE)
+        .select("embedding").collect()
+    )
+    sample = np.array(
+        [[float(x) for x in r.embedding] for r in sample_rows],
+        dtype=np.float64,
+    )
+    books = pq_train(sample)
+    # the same deterministic query set ann_topk_ivf collects internally
+    _, qmat = _collect_queries(emb)
+
+    def scorer(cmat: "np.ndarray") -> "np.ndarray":
+        return pq_adc_cosine(qmat, pq_encode(cmat, books), books)
+
+    return ann_topk_ivf(emb, k=k, nprobe=nprobe, centroids=cent,
+                        scorer=scorer)
+
+
 def kmeans_centroids_distributed(emb: DataFrame) -> "np.ndarray":
     """Deterministic distributed Lloyd training (semantics.docsim kmeans_*):
     per iteration ONE mapInPandas pass emits per-cell partial int64
@@ -235,7 +268,8 @@ def ann_topk_ivf_kmeans(emb: DataFrame, k: int = ANN_K,
 
 def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
                  nprobe: int = IVF_NPROBE,
-                 centroids: "np.ndarray | None" = None) -> DataFrame:
+                 centroids: "np.ndarray | None" = None,
+                 scorer=None) -> DataFrame:
     """IVF-bucketed top-k: candidates are assigned to their nearest coarse
     centroid (inverted file cell); each query probes its `nprobe` nearest
     cells.  Deterministic seeded centroids stand in for trained k-means —
@@ -256,7 +290,8 @@ def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
                     [ivf_cell([float(x) for x in v], centroids=centroids)
                      for v in pdf["embedding"]]
                 )
-                sims = cosine_matrix(qmat, cmat)
+                sims = scorer(cmat) if scorer is not None \
+                    else cosine_matrix(qmat, cmat)
                 out = []
                 for qi, qid in enumerate(qids):
                     col = sims[:, qi]
