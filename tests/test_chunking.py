@@ -88,3 +88,34 @@ def test_ubiquitous_chunks_are_dropped(spark):
     assert none == []
     some = partial_overlap_pairs(docs, max_chunk_df=10).collect()
     assert some  # with the cap lifted the template block pairs everything
+
+
+def test_lcs_span_dp_is_exact():
+    from uk_ner_presidio_demo_spark.semantics.chunking import (
+        longest_common_token_span,
+    )
+
+    assert longest_common_token_span("а б в г д", "х б в г у") == 3
+    assert longest_common_token_span("а б", "в г") == 0
+    assert longest_common_token_span("", "а") == 0
+    assert longest_common_token_span("А б В", "а Б в") == 3  # case-folded
+
+
+def test_verified_partial_overlap_confirms_span(spark):
+    """The verify stage keeps the planted prefix+shared/shared+suffix pair
+    (150-token common span) and reports a span >= the threshold; raising
+    the threshold above the span kills it."""
+    from uk_ner_presidio_demo_spark.operators.chunking import (
+        verified_partial_overlaps,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, _PREFIX + " " + _SHARED), (2, _SHARED + " " + _SUFFIX),
+         (3, " ".join(f"інше{i}" for i in range(120)))],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["common_span_tokens"]
+           for r in verified_partial_overlaps(docs).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 150
+    assert not verified_partial_overlaps(
+        docs, min_span_tokens=got[(1, 2)] + 1).collect()

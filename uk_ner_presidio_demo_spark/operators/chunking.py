@@ -21,8 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
-from ..semantics.chunking import token_chunks
+from ..semantics.chunking import longest_common_token_span, token_chunks
 
 CHUNKS_SCHEMA = T.StructType(
     [
@@ -80,4 +81,41 @@ def partial_overlap_pairs(docs: DataFrame, min_shared: int = 2,
         )
         .agg(F.count("*").alias("shared_chunks"))
         .filter(F.col("shared_chunks") >= min_shared)
+    )
+
+
+@pandas_udf(T.IntegerType())
+def _lcs_tokens_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [longest_common_token_span(x, y) for x, y in zip(a, b)]
+    )
+
+
+# pure, but nondeterministic-flagged so Catalyst evaluates the DP once
+# instead of cloning it into the threshold Filter AND the output Project
+# (the _doc_jaccard_udf lesson, operators/dedup.py)
+_lcs_tokens_udf = _lcs_tokens_udf.asNondeterministic()
+
+
+def verified_partial_overlaps(docs: DataFrame, min_span_tokens: int = 20,
+                              min_shared: int = 2,
+                              max_chunk_df: int = 1000) -> DataFrame:
+    """(doc_a, doc_b, shared_chunks, common_span_tokens): chunk-blocked
+    candidates confirmed by the EXACT longest-common-token-span DP —
+    blocking finds, verification proves, exactly like bands -> Jaccard.
+    The quadratic DP touches candidate pairs only."""
+    cand = partial_overlap_pairs(docs, min_shared=min_shared,
+                                 max_chunk_df=max_chunk_df)
+    ta = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("common_span_tokens",
+                    _lcs_tokens_udf("text_a", "text_b"))
+        .filter(F.col("common_span_tokens") >= min_span_tokens)
+        .select("doc_a", "doc_b", "shared_chunks",
+                F.col("common_span_tokens").cast("long")
+                .alias("common_span_tokens"))
     )

@@ -64,3 +64,24 @@ def token_chunks(text: str) -> list[tuple[int, int, str]]:
          hashlib.md5(" ".join(toks[s:e]).encode("utf-8")).hexdigest())
         for s, e in out
     ]
+
+
+def longest_common_token_span(a: str, b: str) -> int:
+    """Length (in tokens) of the longest contiguous token run shared by
+    the two case-folded token streams — the exact verify for chunk-based
+    candidate pairs (classic O(|a|·|b|) suffix DP, run on CANDIDATES
+    only, mirroring bands -> Jaccard)."""
+    ta, tb = a.lower().split(), b.lower().split()
+    if not ta or not tb:
+        return 0
+    prev = [0] * (len(tb) + 1)
+    best = 0
+    for x in ta:
+        cur = [0] * (len(tb) + 1)
+        for j, y in enumerate(tb, 1):
+            if x == y:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
