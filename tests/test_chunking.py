@@ -90,6 +90,31 @@ def test_ubiquitous_chunks_are_dropped(spark):
     assert some  # with the cap lifted the template block pairs everything
 
 
+def test_chunk_df_cap_metrics_surface_truncation(spark):
+    """VERDICT r3 #7: the ubiquity cap derives from corpus fraction and
+    dropped chunks are surfaced as lineage metric rows — planting one
+    over-cap boilerplate chunk shows up as n_chunks_dropped >= 1."""
+    from uk_ner_presidio_demo_spark.operators.chunking import (
+        partial_overlap_with_metrics,
+    )
+
+    block = " ".join(f"шаблон{i % 53} слово{i % 31}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, block + " " + " ".join(f"унік{i}_{j}" for j in range(40)))
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    _, metrics = partial_overlap_with_metrics(docs, max_chunk_df=2)
+    m = {r["metric"]: r["value"] for r in metrics.collect()}
+    assert m["n_docs"] == 4 and m["chunk_df_cap"] == 2
+    assert m["n_chunks_dropped"] >= 1
+    assert m["n_chunks_distinct"] > m["n_chunks_dropped"]
+    # fraction-derived default: cap = max(floor, frac * n_docs)
+    _, m2 = partial_overlap_with_metrics(docs)
+    got = {r["metric"]: r["value"] for r in m2.collect()}
+    assert got["chunk_df_cap"] == 20 and got["n_chunks_dropped"] == 0
+
+
 def test_lcs_span_dp_is_exact():
     from uk_ner_presidio_demo_spark.semantics.chunking import (
         longest_common_token_span,
@@ -99,6 +124,66 @@ def test_lcs_span_dp_is_exact():
     assert longest_common_token_span("а б", "в г") == 0
     assert longest_common_token_span("", "а") == 0
     assert longest_common_token_span("А б В", "а Б в") == 3  # case-folded
+
+
+class TestLcsEquivalence:
+    """The linear suffix-automaton verify must equal the quadratic DP
+    oracle on every input — this is what lets the Spark kernel switch
+    to O(n+m) without a golden bump (semantics/chunking.py)."""
+
+    def test_hypothesis_equality(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            longest_common_token_run, longest_common_token_span,
+        )
+
+        token = st.sampled_from(["а", "б", "в", "г", "слово", "Б"])
+        doc = st.lists(token, min_size=0, max_size=40).map(" ".join)
+
+        @settings(max_examples=300, deadline=None)
+        @given(doc, doc)
+        def check(a, b):
+            assert longest_common_token_run(a, b) == \
+                longest_common_token_span(a, b)
+
+        check()
+
+    def test_planted_span_and_reuse(self):
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            TokenSuffixAutomaton, longest_common_token_run,
+            longest_common_token_span,
+        )
+
+        a = _PREFIX + " " + _SHARED
+        b = _SHARED + " " + _SUFFIX
+        want = longest_common_token_span(a, b)
+        assert want == len(_SHARED.split())
+        assert longest_common_token_run(a, b) == want
+        sam = TokenSuffixAutomaton(a.lower().split())
+        assert longest_common_token_run(a, b, sam=sam) == want
+        assert longest_common_token_run(a, a, sam=sam) == len(a.split())
+
+    def test_max_length_docs_verify_fast(self):
+        """VERDICT r3 #2 perf property: two max-length (100k-char) docs
+        verify in well under a second (the DP took minutes)."""
+        import time
+
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            longest_common_token_run,
+        )
+
+        shared = " ".join(f"сп{i % 97}х{i % 41}" for i in range(2600))
+        a = " ".join(f"а{i}" for i in range(14000)) + " " + shared
+        b = shared + " " + " ".join(f"б{i}" for i in range(14000))
+        a, b = a[-100_000:], b[:100_000]   # trims keep the shared span
+        assert len(a) == 100_000 and len(b) == 100_000
+        t0 = time.monotonic()
+        got = longest_common_token_run(a, b)
+        wall = time.monotonic() - t0
+        assert got >= 2590          # the planted span survives the trims
+        assert wall < 1.0, f"verify took {wall:.2f}s"
 
 
 def test_verified_partial_overlap_confirms_span(spark):

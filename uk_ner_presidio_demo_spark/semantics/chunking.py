@@ -68,9 +68,12 @@ def token_chunks(text: str) -> list[tuple[int, int, str]]:
 
 def longest_common_token_span(a: str, b: str) -> int:
     """Length (in tokens) of the longest contiguous token run shared by
-    the two case-folded token streams — the exact verify for chunk-based
-    candidate pairs (classic O(|a|·|b|) suffix DP, run on CANDIDATES
-    only, mirroring bands -> Jaccard)."""
+    the two case-folded token streams — the ORACLE twin of the exact
+    verify (classic O(|a|·|b|) suffix DP).  The Spark kernel uses the
+    equivalent linear-time `longest_common_token_run` (VERDICT r3 #1:
+    the quadratic DP is minutes per pair at the 100k-char doc cap);
+    TestLcsEquivalence in tests/test_chunking.py property-tests the two
+    equal, so goldens produced by either are identical."""
     ta, tb = a.lower().split(), b.lower().split()
     if not ta or not tb:
         return 0
@@ -85,3 +88,81 @@ def longest_common_token_span(a: str, b: str) -> int:
                     best = cur[j]
         prev = cur
     return best
+
+
+class TokenSuffixAutomaton:
+    """Suffix automaton over a token sequence — O(n) states/transitions,
+    built once per document and reusable across every candidate pair the
+    document appears in (a boilerplate-heavy shard pairs one doc with
+    thousands of others; the r3 DP re-paid O(|a|·|b|) for each)."""
+
+    __slots__ = ("next", "link", "length")
+
+    def __init__(self, tokens: list[str]) -> None:
+        # state 0 is the initial state
+        self.next: list[dict[str, int]] = [{}]
+        self.link: list[int] = [-1]
+        self.length: list[int] = [0]
+        last = 0
+        nxt, link, length = self.next, self.link, self.length
+        for tok in tokens:
+            cur = len(nxt)
+            nxt.append({})
+            link.append(-1)
+            length.append(length[last] + 1)
+            p = last
+            while p != -1 and tok not in nxt[p]:
+                nxt[p][tok] = cur
+                p = link[p]
+            if p == -1:
+                link[cur] = 0
+            else:
+                q = nxt[p][tok]
+                if length[p] + 1 == length[q]:
+                    link[cur] = q
+                else:
+                    clone = len(nxt)
+                    nxt.append(dict(nxt[q]))
+                    link.append(link[q])
+                    length.append(length[p] + 1)
+                    while p != -1 and nxt[p].get(tok) == q:
+                        nxt[p][tok] = clone
+                        p = link[p]
+                    link[q] = clone
+                    link[cur] = clone
+            last = cur
+
+    def longest_match(self, tokens: list[str]) -> int:
+        """Longest contiguous run of `tokens` that is a factor of the
+        indexed document — O(|tokens|) amortized."""
+        nxt, link, length = self.next, self.link, self.length
+        v = 0
+        run = 0
+        best = 0
+        for tok in tokens:
+            while v != 0 and tok not in nxt[v]:
+                v = link[v]
+                run = length[v]
+            if tok in nxt[v]:
+                v = nxt[v][tok]
+                run += 1
+                if run > best:
+                    best = run
+        return best
+
+
+def longest_common_token_run(a: str, b: str,
+                             sam: TokenSuffixAutomaton | None = None) -> int:
+    """Exact longest common contiguous token run in O(|a| + |b|) — the
+    verify kernel.  Equals longest_common_token_span on every input (the
+    suffix automaton of `a` accepts exactly the token factors of `a`, so
+    the longest factor of `a` seen while scanning `b` IS the longest
+    common run — textbook SAM longest-common-substring, e.g.
+    cp-algorithms.com/string/suffix-automaton).  Pass a prebuilt `sam`
+    for `a` to amortize the build across many candidate pairs."""
+    ta, tb = a.lower().split(), b.lower().split()
+    if not ta or not tb:
+        return 0
+    if sam is None:
+        sam = TokenSuffixAutomaton(ta)
+    return sam.longest_match(tb)
