@@ -13,6 +13,7 @@ driver-provided TPC-H-ish views.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,27 @@ def _golden(name: str, sf_dir: str = SF001, strategy: str = "priority") -> str:
 
 def _transcripts_glob(sf_dir: str = SF001) -> str:
     return str(ensure_transcripts(sf_dir)) + "/*.parquet"
+
+
+_TMP_ROOT: str | None = None
+
+
+def _tmpdir(prefix: str) -> str:
+    """Scratch dir for sink/stream/pipeline queries, rooted under one
+    per-process directory that each NEW process wipes before first use —
+    repeated driver/bench invocations no longer accumulate run dirs in
+    /tmp (ADVICE r3), while dirs stay readable for the lifetime of the
+    session that created them (query results are lazy)."""
+    global _TMP_ROOT
+    import shutil
+    import tempfile
+
+    if _TMP_ROOT is None:
+        root = os.path.join(tempfile.gettempdir(), "spark_graft_runs")
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        _TMP_ROOT = root
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -280,6 +302,24 @@ def _q_rejected_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rejected_mentions(m, _confirmed_keys(m))
 
 
+def _q_kg_review_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-9 + J-6 in one board row (merged from the former
+    kg_confirmed_mentions / kg_rejected_mentions rows — VERDICT r3 #1
+    board rotation): the left-SEMI join keeps reviewer-confirmed
+    mentions, the left-ANTI join keeps the rejected audit trail; both
+    legs union with a `confirmed` flag so one driver row hash-verifies
+    the full partition of the mentions table."""
+    from uk_ner_presidio_demo_spark.operators.review import (
+        confirmed_mentions, rejected_mentions,
+    )
+
+    m = _q_mentions(spark, sf_dir).localCheckpoint(eager=True)
+    keys = _confirmed_keys(m)
+    kept = confirmed_mentions(m, keys).withColumn("confirmed", F.lit(True))
+    rej = rejected_mentions(m, keys).withColumn("confirmed", F.lit(False))
+    return kept.unionByName(rej)
+
+
 def _q_selective_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase review: splice ONLY confirmed spans (selective rewrite)."""
     from uk_ner_presidio_demo_spark.operators.review import (
@@ -322,12 +362,32 @@ def _q_txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 30% hash-threshold subsample (off-board:
-    twin-exact-tested in tests/test_sampling.py; benched as the
-    scan-local sampling path)."""
-    from uk_ner_presidio_demo_spark.operators.sampling import hash_sample
+    """Deterministic hash sampling AND train/eval split in one board row
+    (VERDICT r3 #1: promoted from pytest-only): every doc tagged with
+    its 30%-subsample membership and its 5% eval-split assignment, both
+    pure scan-local codegen hash filters (zero shuffles); the oracle
+    reproduces every decision through the bit-exact xxhash64 twin
+    (semantics/sparkhash.py), like the pack ids."""
+    from uk_ner_presidio_demo_spark.operators.sampling import (
+        GRANULARITY, hash_sample, train_eval_split,
+    )
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+        SAMPLE_FRACTION, SPLIT_EVAL_FRACTION,
+    )
 
-    return hash_sample(read_tpch(spark, sf_dir, "documents"), 0.3)
+    docs = read_tpch(spark, sf_dir, "documents").select("doc_id")
+    split = train_eval_split(docs, SPLIT_EVAL_FRACTION)
+    sampled = hash_sample(docs, SAMPLE_FRACTION).withColumn(
+        "in_sample", F.lit(True)
+    )
+    return (
+        split.join(sampled.select("doc_id", "in_sample"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("in_sample", F.lit(False)).alias("in_sample"),
+            "split",
+        )
+    )
 
 
 def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,14 +419,22 @@ def _q_txt_freq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_partial_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level dedup via content-defined chunking (off-board:
-    twin-tested in tests/test_chunking.py; benched for the
-    chunk-join scale story)."""
+    """Substring-level dedup via content-defined chunking + EXACT
+    longest-common-token-run verify (VERDICT r3 #1: promoted from
+    pytest-only, using the verified operator so the verify stage itself
+    is oracled; the oracle runs the property-tested-equal quadratic DP
+    twin)."""
     from uk_ner_presidio_demo_spark.operators.chunking import (
-        partial_overlap_pairs,
+        verified_partial_overlaps,
     )
 
-    return partial_overlap_pairs(read_tpch(spark, sf_dir, "documents"))
+    return verified_partial_overlaps(
+        read_tpch(spark, sf_dir, "documents")
+    ).select(
+        "doc_a", "doc_b",
+        F.col("shared_chunks").cast("long").alias("shared_chunks"),
+        "common_span_tokens",
+    )
 
 
 def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,6 +526,27 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(read_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_exact_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force AND hyperplane-LSH top-k in one board row
+    (merged from the former ann_topk / ann_lsh_topk rows — VERDICT r3 #1
+    board rotation), tagged by `method` — the exact baseline and its
+    bucket-pruned approximation hash-verified together."""
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        ann_topk_bruteforce, ann_topk_lsh,
+    )
+
+    emb = read_tpch(spark, sf_dir, "embeddings")
+    exact = ann_topk_bruteforce(emb).select(
+        F.lit("exact").alias("method"), "query_id", "neighbor_id",
+        "rank", "sim_r6",
+    )
+    lsh = ann_topk_lsh(emb).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id",
+        "rank", "sim_r6",
+    )
+    return exact.unionByName(lsh)
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell-bucketed top-k (coarse-quantizer scale path, nprobe=2)."""
     from uk_ner_presidio_demo_spark.operators.similarity import ann_topk_ivf
@@ -543,40 +632,42 @@ def _read_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(ensure_media(sf_dir)))
 
 
-def _q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-S2 at the driver surface: write the mentions table through the
-    JSON-lines entities sink into a fresh run dir, read it back, and
-    compare (via the oracle) against the golden mentions — the sink is
+def _json_sink_rows(spark: SparkSession, m: DataFrame) -> DataFrame:
+    """O-S2 leg of the merged sink roundtrip: mentions through the
+    JSON-lines entities sink, read back as (kind='json', key, val) rows
+    where key packs the identifying columns and val is the span length —
     lossless for string/int columns by construction."""
-    import tempfile
-
     from uk_ner_presidio_demo_spark.sources.sinks import (
         run_output_dir, write_mentions_json,
     )
 
-    m = _q_mentions(spark, sf_dir).select(
-        "conv_id", "turn_idx", "mention_idx", "entity_type",
-        "start", "end", "norm_surface",
+    out = run_output_dir(_tmpdir("sinkq_"), "mentions")
+    write_mentions_json(
+        m.select("conv_id", "turn_idx", "mention_idx", "entity_type",
+                 "start", "end", "norm_surface"),
+        out,
     )
-    out = run_output_dir(tempfile.mkdtemp(prefix="sinkq_"), "mentions")
-    write_mentions_json(m, out)
     back = spark.read.json(out)
     return back.select(
-        "conv_id",
-        F.col("turn_idx").cast("long").alias("turn_idx"),
-        F.col("mention_idx").cast("long").alias("mention_idx"),
-        "entity_type",
-        F.col("start").cast("long").alias("start"),
-        F.col("end").cast("long").alias("end"),
-        "norm_surface",
+        F.lit("json").alias("kind"),
+        F.concat_ws(
+            "|", "conv_id", "turn_idx", "mention_idx", "entity_type",
+            "start", "end", "norm_surface",
+        ).alias("key"),
+        (F.col("end") - F.col("start")).cast("double").alias("val"),
     )
 
 
 def _q_sink_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-S1/O-S3 at the driver surface (the last pytest-only sinks): write
-    the mentions through the CSV entities sink AND the per-conversation
-    Markdown report sink into fresh run dirs, read both back, and return a
-    unified evidence table:
+    """O-S1/O-S2/O-S3 at the driver surface: write the mentions through
+    the CSV entities sink, the per-conversation Markdown report sink AND
+    the JSON-lines entities sink (folded in from the former
+    sink_json_roundtrip row — VERDICT r3 #1 board rotation) into fresh
+    run dirs, read all three back, and return a unified evidence table:
+
+      kind='json': one row per exported JSON line, key packs all
+                  identifying columns, val=end-start — the bag equals
+                  the golden mentions projected the same way.
 
       kind='csv': one row per exported CSV line, key=(type|text|start|end),
                   val=score_pct — the sink is lossless, so the bag equals
@@ -588,7 +679,6 @@ def _q_sink_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scores are multiples of 0.05 by spec (patterns.py), so round(score*100,
     1) is rounding-mode-safe across Spark/DuckDB (no half-boundaries)."""
-    import tempfile
 
     from uk_ner_presidio_demo_spark.sources.sinks import (
         run_output_dir, write_mentions_csv, write_reports_md,
@@ -596,7 +686,7 @@ def _q_sink_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _q_mentions(spark, sf_dir).localCheckpoint(eager=True)
 
-    csv_dir = run_output_dir(tempfile.mkdtemp(prefix="sinkq_"), "csv")
+    csv_dir = run_output_dir(_tmpdir("sinkq_"), "csv")
     write_mentions_csv(m, csv_dir)
     csv_back = (
         spark.read.option("header", True)
@@ -610,7 +700,7 @@ def _q_sink_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_pct").alias("val"),
     )
 
-    md_dir = run_output_dir(tempfile.mkdtemp(prefix="sinkq_"), "reports")
+    md_dir = run_output_dir(_tmpdir("sinkq_"), "reports")
     anon = _q_anonymized(spark, sf_dir)
     write_reports_md(m, anon, md_dir)
     reports = spark.read.json(md_dir)
@@ -632,7 +722,9 @@ def _q_sink_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n").cast("double").alias("val"),
         )
     )
-    return csv_rows.unionByName(md_rows)
+    return csv_rows.unionByName(md_rows).unionByName(
+        _json_sink_rows(spark, m)
+    )
 
 
 def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,7 +733,6 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel in a streaming mapInPandas, watermarked tumbling-window counts,
     run to completion with trigger(availableNow) into a memory sink.
     Oracle: golden mentions joined to turn timestamps, hour-truncated."""
-    import tempfile
     import uuid
 
     from uk_ner_presidio_demo_spark.streaming.detect_stream import (
@@ -654,7 +745,7 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         detect_mentions_stream(read_transcripts_stream(spark, path))
     )
     name = f"q_stream_counts_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_stream_q_")
+    ck = _tmpdir("ck_stream_q_")
     out = run_available_now(counts, name, ck, "complete")
     return out.select(
         "win_start", "entity_type",
@@ -669,15 +760,14 @@ def _q_pipeline_stage_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     recorded lineage row count.  Every count is independently derivable
     from the golden tables, so the oracle is exact SQL — the
     resume/lineage machinery itself is what's being driver-verified."""
-    import tempfile
 
     from uk_ner_presidio_demo_spark.plans.pipeline import KGPipeline
 
     pipe = KGPipeline(
         spark=spark,
         sf_dir=sf_dir,
-        checkpoint_dir=tempfile.mkdtemp(prefix="ckq_pipe_"),
-        out_dir=tempfile.mkdtemp(prefix="outq_pipe_"),
+        checkpoint_dir=_tmpdir("ckq_pipe_"),
+        out_dir=_tmpdir("outq_pipe_"),
     )
     pipe.run()
     rows = [(r.stage, r.rows) for r in pipe.results]
@@ -689,7 +779,6 @@ def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents parquet, applyInPandasWithState keeps the first arrival per
     content fingerprint; run to completion under availableNow.  Oracle:
     min-doc_id keeper per fingerprint (arg_min)."""
-    import tempfile
     import uuid
 
     from uk_ner_presidio_demo_spark.streaming.detect_stream import (
@@ -706,7 +795,7 @@ def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         streaming_exact_dedup(stream),
         f"q_stream_dedup_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="ck_stream_dedup_"),
+        _tmpdir("ck_stream_dedup_"),
         "append",
     )
     # consumer view: min keeper per fingerprint.  The append stream may
@@ -720,6 +809,48 @@ def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp", F.col("keeper.doc_id").alias("doc_id"),
                 F.col("keeper.text").alias("text"))
     )
+
+
+def _q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming KG triples at the driver surface (VERDICT
+    r3 #4): REAL Structured Streaming execution — the transcript corpus
+    arrives as turn-range-sliced files (per-conv monotonic across
+    micro-batches) ending with end-of-conversation marker turns, the
+    stateful ±W-window emitter (applyInPandasWithState) finalizes each
+    anchor as the conversation clock passes it, run to completion under
+    trigger(availableNow).  Oracle: the BATCH golden triples — the
+    stream must converge to exactly the batch output."""
+    import uuid
+    from pathlib import Path
+
+    import pandas as pd
+
+    from uk_ner_presidio_demo_spark.streaming.detect_stream import (
+        run_available_now,
+    )
+    from uk_ner_presidio_demo_spark.streaming.kg_stream import (
+        streaming_triples, write_conv_ordered_source,
+    )
+
+    src_dir = Path(ensure_transcripts(sf_dir))
+    full = pd.concat(
+        [pd.read_parquet(p) for p in sorted(src_dir.glob("part-*.parquet"))]
+    )
+    src = write_conv_ordered_source(_tmpdir("stream_kg_src_"), full,
+                                    span=8)
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+    )
+    return run_available_now(
+        streaming_triples(stream),
+        f"q_stream_triples_{uuid.uuid4().hex[:8]}",
+        _tmpdir("ck_stream_kg_"), "append",
+    ).select("conv_id", "turn_idx", "subj", "pred", "obj")
 
 
 def _q_files_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,6 +905,37 @@ def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_ner_presidio_demo_spark.operators.multimodal import frame_sample
 
     return frame_sample(_read_media(spark, sf_dir))
+
+
+def _q_mm_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize planning + video frame sampling in one board row
+    (merged from the former mm_resize_plan / mm_frame_sample rows —
+    VERDICT r3 #1 board rotation).  Unified evidence schema
+    (kind, media_id, x1..x4):
+
+      kind='resize': x1=width, x2=height, x3=new_width, x4=new_height
+      kind='frame' : x1=frame_idx, x2=ts_ms, x3/x4 NULL
+    """
+    media = _read_media(spark, sf_dir)
+    from uk_ner_presidio_demo_spark.operators.multimodal import (
+        frame_sample, resize_plan,
+    )
+
+    nul = F.lit(None).cast("long")
+    resize = resize_plan(media).select(
+        F.lit("resize").alias("kind"), "media_id",
+        F.col("width").cast("long").alias("x1"),
+        F.col("height").cast("long").alias("x2"),
+        F.col("new_width").cast("long").alias("x3"),
+        F.col("new_height").cast("long").alias("x4"),
+    )
+    frames = frame_sample(media).select(
+        F.lit("frame").alias("kind"), "media_id",
+        F.col("frame_idx").cast("long").alias("x1"),
+        F.col("ts_ms").cast("long").alias("x2"),
+        nul.alias("x3"), nul.alias("x4"),
+    )
+    return resize.unionByName(frames)
 
 
 # --------------------------------------------------------------------------
@@ -850,6 +1012,26 @@ def _q_tpch_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_acctbal"
     )
+
+
+def _q_tpch_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-6 semi AND anti in one board row (merged from the former
+    tpch_semi_join / tpch_anti_join rows — VERDICT r3 #1 board
+    rotation): both legs partition `customer` by "has an URGENT order",
+    each keeping its own payload column (NULL on the other leg)."""
+    o = read_tpch(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    c = read_tpch(spark, sf_dir, "customer")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("semi").alias("leg"), "c_custkey", "c_mktsegment",
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("leg"), "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"), "c_acctbal",
+    )
+    return semi.unionByName(anti)
 
 
 def _q_tpch_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,23 +1192,26 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's correctness board caps at 50 rows,
     and VERDICT r2 #1 required every registered query to hold a driver-green
-    row.  Low-information variants were merged (tpch_union+conditional_agg
-    -> tpch_union_agg; filter_project -> window_topk; token_count/bpe/
-    fingerprint -> txt_text_profile; lang_id -> txt_quality; events_sessions
-    -> events_sessionize) or demoted to pytest-only coverage
-    (kg_top_surfaces — identical oracle to the salted twin; ann_ivf_topk —
-    superseded by the trained-kmeans variant)."""
+    row.  Round-4 rotation (VERDICT r3 #1/#4): six slots were freed by
+    merging low-information variants (tpch_semi_join + tpch_anti_join ->
+    tpch_semi_anti_join; kg_confirmed + kg_rejected -> kg_review_mentions;
+    mm_resize_plan + mm_frame_sample -> mm_media_plan; ann_topk +
+    ann_lsh_topk -> ann_exact_lsh_topk; sink_json_roundtrip folded into
+    sink_report_roundtrip) or demoting to pytest-only coverage
+    (kg_mentions_score_strategy — a strategy-divergence anchor, mirrored
+    in tests/test_demoted_queries.py like earlier demotions: kg_top_surfaces,
+    ann_ivf_topk), and filled with the formerly off-board r3 operators:
+    doc_partial_overlap (verified), doc_hash_sample (+ split),
+    txt_repetition, txt_freq_profile, ann_ivfpq_topk, stream_triples."""
     return {
         "kg_mentions": _q_mentions,
-        "kg_mentions_score_strategy": _q_mentions_score_strategy,
         "kg_anonymized": _q_anonymized,
         "kg_entity_type_counts": _q_entity_type_counts,
         "kg_valid_turn_stats": _q_valid_turn_stats,
         "kg_top_surfaces_salted": _q_top_surfaces_salted,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
         "kg_normalize_text": _q_normalize_text,
-        "kg_confirmed_mentions": _q_confirmed_mentions,
-        "kg_rejected_mentions": _q_rejected_mentions,
+        "kg_review_mentions": _q_kg_review_mentions,
         "kg_selective_anonymized": _q_selective_anonymized,
         "kg_highlight_segments": _q_highlight_segments,
         "kg_triples": _q_triples,
@@ -1041,33 +1226,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_corpus": _q_doc_clean_corpus,
         "doc_contamination": _q_doc_contamination,
         "doc_packing": _q_doc_packing,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
+        "doc_partial_overlap": _q_doc_partial_overlap,
+        "doc_hash_sample": _q_doc_hash_sample,
+        "ann_exact_lsh_topk": _q_ann_exact_lsh_topk,
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "emb_neardup": _q_emb_neardup,
         "txt_text_profile": _q_txt_text_profile,
         "txt_quality": _q_txt_quality,
         "txt_stopword_stats": _q_txt_stopword_stats,
         "txt_unigram_probs": _q_txt_unigram_probs,
+        "txt_repetition": _q_txt_repetition,
+        "txt_freq_profile": _q_txt_freq_profile,
         "files_ingest": _q_files_ingest,
         "pipeline_stage_rows": _q_pipeline_stage_rows,
-        "sink_json_roundtrip": _q_sink_json_roundtrip,
         "sink_report_roundtrip": _q_sink_report_roundtrip,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_exact_dedup": _q_stream_exact_dedup,
+        "stream_triples": _q_stream_triples,
         "mm_decode_features": _q_mm_decode_features,
-        "mm_resize_plan": _q_mm_resize_plan,
-        "mm_frame_sample": _q_mm_frame_sample,
+        "mm_media_plan": _q_mm_media_plan,
         "tpch_agg": _q_tpch_agg,
         "tpch_broadcast_join": _q_tpch_broadcast_join,
-        "tpch_semi_join": _q_tpch_semi_join,
-        "tpch_anti_join": _q_tpch_anti_join,
+        "tpch_semi_anti_join": _q_tpch_semi_anti_join,
         "tpch_window_topk": _q_tpch_window_topk,
         "tpch_union_agg": _q_tpch_union_agg,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
         "tpch_rollup_agg": _q_tpch_rollup_agg,
         "events_sessionize": _q_events_sessionize,
     }
+
+
+# Independent DuckDB implementations of the repetition / corpus-frequency
+# signals (list comprehensions over token arrays — a genuinely different
+# algorithmic shape than the engine kernels, so agreement is evidence, not
+# tautology).  The pytest mirrors in tests/test_repetition.py import THESE
+# strings, keeping the driver board and the local test gate on one oracle.
+REPETITION_ORACLE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') arr
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+          for i in generate_series(1, len(arr) - 2)] AS g3,
+         [arr[i] || ' ' || arr[i+1]
+          for i in generate_series(1, len(arr) - 1)] AS g2
+  FROM d
+),
+m AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, x, count(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS x FROM g)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT g.doc_id,
+       CAST(len(g3) AS BIGINT) AS n_3grams,
+       CASE WHEN len(g3) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+       END AS dup_3gram_frac,
+       CAST(len(g2) AS BIGINT) AS n_2grams,
+       CASE WHEN len(g2) = 0 THEN 0.0
+            ELSE CAST(coalesce(m.mc, 0) AS DOUBLE) / len(g2)
+       END AS top_2gram_frac
+FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+"""
+
+FREQ_PROFILE_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) t WHERE t.token <> ''
+),
+counts AS (SELECT token, count(*) AS tok_count FROM toks GROUP BY token)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tok_count) AS BIGINT) AS freq_mass,
+       CAST(sum(CASE WHEN tok_count = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+       CAST(sum(tok_count) AS BIGINT) / CAST(count(*) AS BIGINT)
+           AS mean_tok_freq
+FROM toks JOIN counts USING (token)
+GROUP BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1126,15 +1371,6 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'canonical_triples', count(*) FROM read_parquet('{gct}')
         """,
-        "sink_json_roundtrip": f"""
-            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-                   CAST(mention_idx AS BIGINT) AS mention_idx,
-                   entity_type,
-                   CAST(start AS BIGINT) AS start,
-                   CAST("end" AS BIGINT) AS "end",
-                   norm_surface
-            FROM read_parquet('{gm}')
-        """,
         "stream_exact_dedup": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                        AS fp,
@@ -1157,22 +1393,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dim_idx AS BIGINT) AS dim_idx, feat_val
             FROM read_parquet('{mg}/golden_media_features.parquet')
         """,
-        "mm_resize_plan": f"""
-            SELECT media_id,
-                   CAST(width AS BIGINT) AS width,
-                   CAST(height AS BIGINT) AS height,
+        "mm_media_plan": f"""
+            SELECT 'resize' AS kind, media_id,
+                   CAST(width AS BIGINT) AS x1,
+                   CAST(height AS BIGINT) AS x2,
                    CAST(CASE WHEN greatest(width, height) <= 512 THEN width
                         ELSE floor(width * (512.0 / greatest(width, height)))
-                        END AS BIGINT) AS new_width,
+                        END AS BIGINT) AS x3,
                    CAST(CASE WHEN greatest(width, height) <= 512 THEN height
                         ELSE floor(height * (512.0 / greatest(width, height)))
-                        END AS BIGINT) AS new_height
+                        END AS BIGINT) AS x4
             FROM read_parquet('{media_pq}') WHERE media_type = 'image'
-        """,
-        "mm_frame_sample": f"""
-            SELECT media_id,
-                   CAST(ts_ms / 500 AS BIGINT) AS frame_idx,
-                   CAST(ts_ms AS BIGINT) AS ts_ms
+            UNION ALL
+            SELECT 'frame', media_id,
+                   CAST(ts_ms / 500 AS BIGINT),
+                   CAST(ts_ms AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM (
                 SELECT media_id,
                        unnest(range(0, CAST(duration_ms AS BIGINT) + 1, 500))
@@ -1203,17 +1439,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, hamming
             FROM read_parquet('{dg}/golden_simhash_dups.parquet')
         """,
-        "ann_topk": f"""
-            SELECT query_id, neighbor_id, rank, sim_r6
+        "ann_exact_lsh_topk": f"""
+            SELECT 'exact' AS method, query_id, neighbor_id, rank, sim_r6
             FROM read_parquet('{dg}/golden_ann_topk.parquet')
-        """,
-        "ann_lsh_topk": f"""
-            SELECT query_id, neighbor_id, rank, sim_r6
+            UNION ALL
+            SELECT 'lsh', query_id, neighbor_id, rank, sim_r6
             FROM read_parquet('{dg}/golden_ann_lsh_topk.parquet')
         """,
-"ann_ivf_kmeans_topk": f"""
+        "ann_ivf_kmeans_topk": f"""
             SELECT query_id, neighbor_id, rank, sim_r6
             FROM read_parquet('{dg}/golden_ann_ivf_kmeans_topk.parquet')
+        """,
+        "ann_ivfpq_topk": f"""
+            SELECT query_id, neighbor_id, rank, sim_r6
+            FROM read_parquet('{dg}/golden_ann_ivfpq_topk.parquet')
+        """,
+        "doc_partial_overlap": f"""
+            SELECT doc_a, doc_b, shared_chunks, common_span_tokens
+            FROM read_parquet('{dg}/golden_partial_overlap.parquet')
+        """,
+        "doc_hash_sample": f"""
+            SELECT doc_id, in_sample, split
+            FROM read_parquet('{dg}/golden_hash_sample.parquet')
         """,
         "txt_text_profile": """
             SELECT doc_id,
@@ -1329,15 +1576,11 @@ def oracle_sql() -> dict[str, str]:
                        '^\\s+|\\s+$', '', 'g') AS norm_text
             FROM read_parquet('{tg}')
         """,
-        "kg_confirmed_mentions": f"""
+        "kg_review_mentions": f"""
             SELECT conv_id, turn_idx, mention_idx, entity_type, start,
-                   "end", score, surface, norm_surface
-            FROM read_parquet('{gm}') WHERE {_confirm}
-        """,
-        "kg_rejected_mentions": f"""
-            SELECT conv_id, turn_idx, mention_idx, entity_type, start,
-                   "end", score, surface, norm_surface
-            FROM read_parquet('{gm}') WHERE NOT {_confirm}
+                   "end", score, surface, norm_surface,
+                   {_confirm} AS confirmed
+            FROM read_parquet('{gm}')
         """,
         "kg_selective_anonymized": f"""
             SELECT conv_id, turn_idx, anonymized_text
@@ -1375,10 +1618,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, anonymized_text
             FROM read_parquet('{ga}')
         """,
-        "kg_mentions_score_strategy": f"""
-            SELECT conv_id, turn_idx, mention_idx, entity_type, start,
-                   "end", score, surface, norm_surface
-            FROM read_parquet('{_golden("golden_mentions", strategy="score")}')
+        "stream_triples": f"""
+            SELECT conv_id, turn_idx, subj, pred, obj
+            FROM read_parquet('{gt}')
         """,
         "tpch_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
@@ -1508,14 +1750,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "tpch_semi_join": """
-            SELECT c_custkey, c_mktsegment FROM customer
+        "tpch_semi_anti_join": """
+            SELECT 'semi' AS leg, c_custkey, c_mktsegment,
+                   CAST(NULL AS DOUBLE) AS c_acctbal
+            FROM customer
             WHERE c_custkey IN (
                 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
-        """,
-        "tpch_anti_join": """
-            SELECT c_custkey, c_acctbal FROM customer c
+            UNION ALL
+            SELECT 'anti', c_custkey, CAST(NULL AS VARCHAR), c_acctbal
+            FROM customer c
             WHERE NOT EXISTS (
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey
@@ -1547,5 +1791,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) AS val
             FROM read_parquet('{gm}')
             GROUP BY conv_id, entity_type
+            UNION ALL
+            SELECT 'json' AS kind,
+                   conv_id || '|' || turn_idx || '|' || mention_idx || '|'
+                       || entity_type || '|' || start || '|' || "end"
+                       || '|' || norm_surface AS key,
+                   CAST("end" - start AS DOUBLE) AS val
+            FROM read_parquet('{gm}')
         """,
+        "txt_repetition": REPETITION_ORACLE_SQL,
+        "txt_freq_profile": FREQ_PROFILE_ORACLE_SQL,
     }

@@ -46,14 +46,15 @@ def main() -> None:
     # round-over-round per-query comparisons stay name-stable
     qmap.setdefault("kg_top_surfaces", entrymod._q_top_surfaces)
     qmap.setdefault("events_sessions", entrymod._q_events_sessions)
-    # off-board training-pipeline ops (pytest-oracled), benched for the
-    # scale story: one-crossing repetition kernel, scan-local sampling
-    qmap.setdefault("txt_repetition", entrymod._q_txt_repetition)
-    qmap.setdefault("doc_hash_sample", entrymod._q_doc_hash_sample)
-    qmap.setdefault("doc_partial_overlap", entrymod._q_doc_partial_overlap)
-    qmap.setdefault("txt_freq_profile", entrymod._q_txt_freq_profile)
+    # name-stable callables for queries that merged/rotated off the 50-slot
+    # board (r3: board slots; r4: ann_topk merged into ann_exact_lsh_topk,
+    # the r3 off-board six promoted) — bench keeps timing the SAME work
+    # under the SAME name so round-over-round per-query ratios stay valid.
+    # Exception by design in r4: doc_partial_overlap now times the
+    # VERIFIED operator (chunk blocking + exact-span verify) — the r3
+    # number covered blocking only.
+    qmap.setdefault("ann_topk", entrymod._q_ann_topk)
     qmap.setdefault("ann_pq_topk", entrymod._q_ann_pq_topk)
-    qmap.setdefault("ann_ivfpq_topk", entrymod._q_ann_ivfpq_topk)
     headline = [
         "kg_mentions",
         "kg_anonymized",

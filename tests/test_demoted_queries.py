@@ -1,6 +1,6 @@
 """Pytest coverage for operators demoted from the 50-slot driver board in
-r3 (the registry must fit the driver's cap, VERDICT r2 #1) — each demoted
-query keeps the SAME oracle check here that it had on the board:
+r3/r4 (the registry must fit the driver's cap, VERDICT r2 #1) — each
+demoted query keeps the SAME oracle check here that it had on the board:
 
   kg_top_surfaces       — identical oracle to kg_top_surfaces_salted
   ann_ivf_topk          — superseded on the board by the trained variant
@@ -12,6 +12,17 @@ query keeps the SAME oracle check here that it had on the board:
                           promote"); board slot went to doc_contamination
   kg_triple_counts      — trivial derivation of the hash-verified
                           kg_triples; board slot went to doc_packing
+  kg_mentions_score_strategy — demoted r4 (board slot went to the r3
+                          off-board operators); the score-vs-priority
+                          strategy divergence anchor keeps its golden
+                          oracle here
+  ann_topk / ann_lsh_topk / mm_resize_plan / mm_frame_sample /
+  tpch_semi_join / tpch_anti_join / kg_confirmed / kg_rejected /
+  sink_json — MERGED (not demoted) r4: their exact old evidence is a
+              projection of the merged board rows
+              (ann_exact_lsh_topk, mm_media_plan, tpch_semi_anti_join,
+              kg_review_mentions, sink_report_roundtrip), so the driver
+              still hash-verifies them; no separate mirror needed
 """
 
 import pytest
@@ -121,6 +132,27 @@ def test_neardup_exact_matches_golden(spark, sf01):
         f"{dg}/golden_neardup_exact.parquet"
     )
     assert not compare_frames(got, want)
+
+
+def test_mentions_score_strategy_matches_golden(spark, sf01):
+    """kg_mentions_score_strategy (demoted r4) keeps its golden oracle:
+    W-1 score-strategy resolution vs the score-strategy golden parquet,
+    and it must genuinely DIVERGE from the priority-strategy output
+    (the reason the row existed)."""
+    import duckdb
+
+    gm_score = em._golden("golden_mentions", strategy="score")
+    got = em._q_mentions_score_strategy(spark, sf01).toPandas()
+    want = duckdb.execute(
+        f'SELECT conv_id, turn_idx, mention_idx, entity_type, start, '
+        f'"end", score, surface, norm_surface '
+        f"FROM read_parquet('{gm_score}')"
+    ).fetchdf()
+    assert not compare_frames(got, want)
+    prio = em.queries()["kg_mentions"](spark, sf01).toPandas()
+    assert compare_frames(got, prio), (
+        "score and priority strategies should diverge somewhere"
+    )
 
 
 def test_triple_counts_matches_golden_aggregate(spark, sf01):

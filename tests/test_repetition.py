@@ -11,37 +11,12 @@ from uk_ner_presidio_demo_spark.operators.repetition import (
 )
 from uk_ner_presidio_demo_spark.sources.tables import read_tpch
 
-ORACLE_SQL = r"""
-WITH d AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') arr
-  FROM documents
-),
-g AS (
-  SELECT doc_id,
-         [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
-          for i in generate_series(1, len(arr) - 2)] AS g3,
-         [arr[i] || ' ' || arr[i+1]
-          for i in generate_series(1, len(arr) - 1)] AS g2
-  FROM d
-),
-m AS (
-  SELECT doc_id, max(c) AS mc FROM (
-    SELECT doc_id, x, count(*) AS c
-    FROM (SELECT doc_id, unnest(g2) AS x FROM g)
-    GROUP BY 1, 2
-  ) GROUP BY 1
-)
-SELECT g.doc_id,
-       CAST(len(g3) AS BIGINT) AS n_3grams,
-       CASE WHEN len(g3) = 0 THEN 0.0
-            ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
-       END AS dup_3gram_frac,
-       CAST(len(g2) AS BIGINT) AS n_2grams,
-       CASE WHEN len(g2) = 0 THEN 0.0
-            ELSE CAST(coalesce(m.mc, 0) AS DOUBLE) / len(g2)
-       END AS top_2gram_frac
-FROM g LEFT JOIN m ON g.doc_id = m.doc_id
-"""
+# The SQL oracles now live in __spark_entry__ (promoted to driver board
+# rows in r4); importing THEM keeps this local gate and the board on one
+# oracle text.
+from __spark_entry__ import FREQ_PROFILE_ORACLE_SQL, REPETITION_ORACLE_SQL
+
+ORACLE_SQL = REPETITION_ORACLE_SQL
 
 
 def test_repetition_matches_independent_sql_oracle(spark, sf01):
@@ -88,25 +63,7 @@ def test_repetition_plan_is_single_crossing_no_shuffle(spark, sf01):
     assert "Exchange" not in plan
 
 
-FREQ_ORACLE_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, t.token FROM (
-    SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-    FROM documents
-  ) t WHERE t.token <> ''
-),
-counts AS (SELECT token, count(*) AS tok_count FROM toks GROUP BY token)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(tok_count) AS BIGINT) AS freq_mass,
-       CAST(sum(CASE WHEN tok_count = 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_hapax,
-       CAST(sum(tok_count) AS BIGINT) / CAST(count(*) AS BIGINT)
-           AS mean_tok_freq
-FROM toks JOIN counts USING (token)
-GROUP BY doc_id
-"""
+FREQ_ORACLE_SQL = FREQ_PROFILE_ORACLE_SQL
 
 
 def test_doc_freq_profile_matches_live_sql(spark, sf01):

@@ -11,44 +11,15 @@ from uk_ner_presidio_demo_spark.semantics.triples import WINDOW_W
 from uk_ner_presidio_demo_spark.streaming.detect_stream import (
     run_available_now,
 )
-from uk_ner_presidio_demo_spark.streaming.kg_stream import streaming_triples
+from uk_ner_presidio_demo_spark.streaming.kg_stream import (
+    streaming_triples, write_conv_ordered_source,
+)
 
 
 def _ordered_batches(tmp_path, full: pd.DataFrame, span: int = 5):
-    """Split rows into files by turn_idx range so per-conv arrival stays
-    monotonic across micro-batches, then append W inert end-of-conv marker
-    turns per conv (empty text, no tool) to close every window."""
-    src = tmp_path / "src"
-    src.mkdir()
-    # pin dtypes: an all-None object slice would write a null-typed parquet
-    # column (read back as INT32) and break the stream's string schema
-    full = full.copy()
-    full["tool"] = full["tool"].astype("string")
-    full["text"] = full["text"].astype("string")
-    n_files = int(full["turn_idx"].max()) // span + 1
-    for k in range(n_files):
-        sub = full[(full["turn_idx"] >= k * span)
-                   & (full["turn_idx"] < (k + 1) * span)]
-        if len(sub):
-            sub.to_parquet(src / f"part-{k:03d}.parquet", index=False)
-    eos_rows = []
-    for conv_id, grp in full.groupby("conv_id"):
-        last = int(grp["turn_idx"].max())
-        for w in range(1, WINDOW_W + 1):
-            eos_rows.append(
-                (conv_id, last + w, "system", "", None,
-                 grp["ts"].iloc[0])
-            )
-    eos = pd.DataFrame(
-        eos_rows, columns=["conv_id", "turn_idx", "role", "text", "tool",
-                           "ts"],
-    ).astype({"turn_idx": "int32"})
-    # the streaming parquet reader rejects nano timestamps (CLAUDE.md),
-    # and an all-None object column writes as INT32 — pin both dtypes
-    eos["ts"] = eos["ts"].astype("datetime64[us]")
-    eos["tool"] = eos["tool"].astype("string")
-    eos.to_parquet(src / f"part-{n_files:03d}-eos.parquet", index=False)
-    return src
+    """Shared EOS-marker source builder (now in kg_stream, also used by
+    the stream_triples driver board row)."""
+    return write_conv_ordered_source(tmp_path / "src", full, span=span)
 
 
 def test_streaming_triples_converge_to_batch(spark, sf001, tmp_path):
@@ -89,6 +60,73 @@ def test_streaming_triples_converge_to_batch(spark, sf001, tmp_path):
     assert got_set == batch_set
     # the stream really ran multiple micro-batches (state spanned batches)
     assert len(list(src.glob("part-*.parquet"))) > 3
+
+
+def test_streaming_triples_ttl_flushes_tail(spark, tmp_path):
+    """VERDICT r3 #6: a conversation with NO trailing quiet period (no
+    EOS markers, last turns still inside the ±W window) must still
+    converge to the batch output once the state TTL expires — the tail
+    anchors flush on timeout instead of waiting forever."""
+    import time
+
+    conv = "conv_ttl"
+    base_ts = pd.Timestamp("2024-01-01").as_unit("us")
+    turn_rows = [(conv, i, "user", "текст розмови",
+                  "searx" if i in (0, 5) else None, base_ts)
+                 for i in range(6)]
+    pdf = pd.DataFrame(
+        turn_rows,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    ).astype({"turn_idx": "int32"})
+    pdf["tool"] = pdf["tool"].astype("string")
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf[pdf["turn_idx"] < 3].to_parquet(src / "part-0.parquet", index=False)
+    pdf[pdf["turn_idx"] >= 3].to_parquet(src / "part-1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # availableNow + ProcessingTimeTimeout never self-terminates (CLAUDE.md):
+    # poll the memory sink for the tail triple, then stop explicitly.
+    q = (
+        streaming_triples(stream, ttl_ms=1)
+        .writeStream.format("memory").queryName("stream_triples_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.table("stream_triples_ttl").toPandas()
+            if ((got["pred"] == "uses_tool") & (got["turn_idx"] == 5)).any():
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    got = spark.table("stream_triples_ttl").toPandas()
+
+    from uk_ner_presidio_demo_spark.operators.detect import (
+        detect_turns, mentions_from_turns,
+    )
+    from uk_ner_presidio_demo_spark.operators.triples import emit_triples
+
+    tr = spark.createDataFrame(pdf)
+    batch = emit_triples(
+        tr, mentions_from_turns(detect_turns(tr, with_anonymized=False))
+    ).toPandas()
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got_set = set(map(tuple, got[key].itertuples(index=False)))
+    batch_set = set(map(tuple, batch[key].itertuples(index=False)))
+    assert len(got) == len(got_set)      # exactly-once even across TTL
+    assert got_set == batch_set          # tail anchors flushed by TTL
 
 
 def test_streaming_triples_drop_late_turns(spark, tmp_path):

@@ -24,6 +24,10 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..semantics.chunking import (
+    MAX_CHUNK_DF_FRAC,
+    MIN_CHUNK_DF_CAP,
+    MIN_SHARED_CHUNKS,
+    MIN_SPAN_TOKENS,
     TokenSuffixAutomaton,
     longest_common_token_run,
     token_chunks,
@@ -59,12 +63,11 @@ def doc_chunks(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(kernel, CHUNKS_SCHEMA)
 
 
-# Default ubiquity cap as a CORPUS FRACTION (VERDICT r3 #7): a chunk in
-# more than this fraction of documents is boilerplate by definition at
+# Ubiquity cap as a CORPUS FRACTION (VERDICT r3 #7): a chunk in more
+# than MAX_CHUNK_DF_FRAC of documents is boilerplate by definition at
 # any corpus size; the absolute cap derives from n_docs instead of a
 # magic constant that silently changes meaning between sf0.01 and 100 TB.
-MAX_CHUNK_DF_FRAC = 0.02
-MIN_CHUNK_DF_CAP = 20          # floor so tiny test corpora keep pairing
+# Constants live in semantics/chunking.py (shared with the oracle).
 
 
 def _resolve_chunk_cap(n_docs: int, max_chunk_df: int | None,
@@ -75,7 +78,7 @@ def _resolve_chunk_cap(n_docs: int, max_chunk_df: int | None,
 
 
 def partial_overlap_with_metrics(
-    docs: DataFrame, min_shared: int = 2,
+    docs: DataFrame, min_shared: int = MIN_SHARED_CHUNKS,
     max_chunk_df: int | None = None,
     max_chunk_df_frac: float = MAX_CHUNK_DF_FRAC,
 ) -> tuple[DataFrame, DataFrame]:
@@ -131,7 +134,7 @@ def partial_overlap_with_metrics(
     return pairs, metrics
 
 
-def partial_overlap_pairs(docs: DataFrame, min_shared: int = 2,
+def partial_overlap_pairs(docs: DataFrame, min_shared: int = MIN_SHARED_CHUNKS,
                           max_chunk_df: int | None = None,
                           max_chunk_df_frac: float = MAX_CHUNK_DF_FRAC,
                           ) -> DataFrame:
@@ -166,8 +169,9 @@ def _lcs_tokens_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 _lcs_tokens_udf = _lcs_tokens_udf.asNondeterministic()
 
 
-def verified_partial_overlaps(docs: DataFrame, min_span_tokens: int = 20,
-                              min_shared: int = 2,
+def verified_partial_overlaps(docs: DataFrame,
+                              min_span_tokens: int = MIN_SPAN_TOKENS,
+                              min_shared: int = MIN_SHARED_CHUNKS,
                               max_chunk_df: int | None = None) -> DataFrame:
     """(doc_a, doc_b, shared_chunks, common_span_tokens): chunk-blocked
     candidates confirmed by the EXACT longest-common-token-run kernel —

@@ -180,14 +180,16 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = ANN_K,
         dtype=np.float64,
     )
     books = pq_train(sample)
-    # the same deterministic query set ann_topk_ivf collects internally
-    _, qmat = _collect_queries(emb)
+    # collect the query set ONCE and pass it through explicitly — the
+    # scorer's qmat and the probe sets must come from the same collect
+    # (ADVICE r3: two independent collects only aligned by accident)
+    qids, qmat = _collect_queries(emb)
 
     def scorer(cmat: "np.ndarray") -> "np.ndarray":
         return pq_adc_cosine(qmat, pq_encode(cmat, books), books)
 
     return ann_topk_ivf(emb, k=k, nprobe=nprobe, centroids=cent,
-                        scorer=scorer)
+                        scorer=scorer, queries=(qids, qmat))
 
 
 def kmeans_centroids_distributed(emb: DataFrame) -> "np.ndarray":
@@ -269,7 +271,7 @@ def ann_topk_ivf_kmeans(emb: DataFrame, k: int = ANN_K,
 def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
                  nprobe: int = IVF_NPROBE,
                  centroids: "np.ndarray | None" = None,
-                 scorer=None) -> DataFrame:
+                 scorer=None, queries=None) -> DataFrame:
     """IVF-bucketed top-k: candidates are assigned to their nearest coarse
     centroid (inverted file cell); each query probes its `nprobe` nearest
     cells.  Deterministic seeded centroids stand in for trained k-means —
@@ -307,7 +309,9 @@ def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
                 )
         return kernel
 
-    qids, qmat = _collect_queries(emb)
+    # callers composing a scorer over the same query set (IVF-PQ) pass it
+    # in so scorer qmat and probe sets provably share one collect
+    qids, qmat = queries if queries is not None else _collect_queries(emb)
     probe_sets = [
         np.array(ivf_probe_cells(list(qmat[i]), nprobe, centroids=centroids))
         for i in range(len(qids))

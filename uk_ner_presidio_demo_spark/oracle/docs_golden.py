@@ -17,7 +17,13 @@ from ..semantics.docsim import (
     emb_block_keys, rp_bucket, simhash64, simhash_segments, hamming64,
 )
 
-DOCS_GOLDEN_VERSION = 8
+DOCS_GOLDEN_VERSION = 9
+
+# Driver-row sampling parameters (engine twin: operators/sampling.py via
+# __spark_entry__._q_doc_hash_sample) — fixed so the single-process
+# xxhash64 twin reproduces every membership decision exactly.
+SAMPLE_FRACTION = 0.3
+SPLIT_EVAL_FRACTION = 0.05
 
 # Synthetic eval-suite fixture for the contamination audit (driver query
 # doc_contamination): every doc_id % EVAL_SAMPLE_MOD == 0 contributes one
@@ -212,6 +218,63 @@ def ensure_docs_golden(sf_dir: str) -> Path:
         columns=["pack_id", "doc_id", "n_tokens", "pack_pos", "oversize"],
     ).to_parquet(out_dir / "golden_packs.parquet", index=False)
 
+    # --- partial-overlap (substring-level) dedup: content-defined chunk
+    # blocking + exact longest-common-token-span verify (the DP twin of
+    # the engine's linear suffix-automaton kernel — property-tested
+    # equal, tests/test_chunking.py TestLcsEquivalence) ---
+    from ..semantics.chunking import (
+        MAX_CHUNK_DF_FRAC, MIN_CHUNK_DF_CAP, MIN_SHARED_CHUNKS,
+        MIN_SPAN_TOKENS, longest_common_token_span, token_chunks,
+    )
+
+    chunk_sets = {
+        d: {h for _, _, h in token_chunks(t)} for d, t in texts.items()
+    }
+    chunk_df: dict[str, int] = {}
+    for hs in chunk_sets.values():
+        for h in hs:
+            chunk_df[h] = chunk_df.get(h, 0) + 1
+    cap = max(MIN_CHUNK_DF_CAP, int(len(texts) * MAX_CHUNK_DF_FRAC))
+    by_chunk: dict[str, list[int]] = {}
+    for d in sorted(chunk_sets):
+        for h in chunk_sets[d]:
+            if chunk_df[h] <= cap:
+                by_chunk.setdefault(h, []).append(d)
+    pair_shared: dict[tuple[int, int], int] = {}
+    for members in by_chunk.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                p = (members[i], members[j])
+                pair_shared[p] = pair_shared.get(p, 0) + 1
+    po_rows = []
+    for (a, b), n in sorted(pair_shared.items()):
+        if n < MIN_SHARED_CHUNKS:
+            continue
+        span = longest_common_token_span(texts[a], texts[b])
+        if span >= MIN_SPAN_TOKENS:
+            po_rows.append((a, b, n, span))
+    pd.DataFrame(
+        po_rows,
+        columns=["doc_a", "doc_b", "shared_chunks", "common_span_tokens"],
+    ).to_parquet(out_dir / "golden_partial_overlap.parquet", index=False)
+
+    # --- deterministic hash sampling / train-eval split (engine twin:
+    # operators/sampling.py; membership reproduced through the bit-exact
+    # xxhash64 twin, like the pack ids above) ---
+    from ..operators.sampling import GRANULARITY
+
+    hs_rows = []
+    for d in sorted(texts):
+        b = pmod(xxhash64_long(d), GRANULARITY)
+        hs_rows.append(
+            (d, b < int(SAMPLE_FRACTION * GRANULARITY),
+             "eval" if b < int(SPLIT_EVAL_FRACTION * GRANULARITY)
+             else "train")
+        )
+    pd.DataFrame(
+        hs_rows, columns=["doc_id", "in_sample", "split"]
+    ).to_parquet(out_dir / "golden_hash_sample.parquet", index=False)
+
     # --- ANN + near-dup over the shared numpy kernel ---
     import numpy as np
 
@@ -270,6 +333,29 @@ def ensure_docs_golden(sf_dir: str) -> Path:
         topk_rows(lambda qi: np.isin(kcells, kprobes[qi])),
         columns=["query_id", "neighbor_id", "rank", "sim_r6"],
     ).to_parquet(out_dir / "golden_ann_ivf_kmeans_topk.parquet", index=False)
+
+    # IVF-PQ composite (driver oracle for ann_ivfpq_topk): the trained
+    # coarse cells above prune WHICH vectors each query scans; ADC scores
+    # from head-sample-trained PQ codebooks replace exact cosine
+    from ..semantics.pq import (
+        PQ_TRAIN_SAMPLE, pq_adc_cosine, pq_encode, pq_train,
+    )
+
+    books = pq_train(cmat[:PQ_TRAIN_SAMPLE])
+    pq_sims = pq_adc_cosine(qmat, pq_encode(cmat, books), books)
+    ivfpq_rows = []
+    for qi, q in enumerate(qids):
+        col = pq_sims[:, qi]
+        mask = (cids != q) & np.isin(kcells, kprobes[qi])
+        idx = np.nonzero(mask)[0]
+        order = np.lexsort((cids[idx], -col[idx]))[:ANN_K]
+        for rank, j in enumerate(idx[order], 1):
+            ivfpq_rows.append(
+                (q, int(cids[j]), rank, round(float(col[j]), 6))
+            )
+    pd.DataFrame(
+        ivfpq_rows, columns=["query_id", "neighbor_id", "rank", "sim_r6"]
+    ).to_parquet(out_dir / "golden_ann_ivfpq_topk.parquet", index=False)
 
     # near-dup (driver oracle): multi-table hyperplane-LSH blocking + exact
     # cosine verify — the scale-safe semantics shipped in queries()

@@ -26,6 +26,14 @@ import hashlib
 import zlib
 
 WINDOW = 4
+# Ubiquity (boilerplate) blocking parameters shared by the Spark operator
+# (operators/chunking.py) and the golden oracle (oracle/docs_golden.py):
+# a chunk present in more than MAX_CHUNK_DF_FRAC of documents is dropped
+# before pairing (floored at MIN_CHUNK_DF_CAP docs so tiny corpora pair).
+MAX_CHUNK_DF_FRAC = 0.02
+MIN_CHUNK_DF_CAP = 20
+MIN_SHARED_CHUNKS = 2      # candidate threshold: >=2 shared rare chunks
+MIN_SPAN_TOKENS = 20       # verify threshold: exact common run length
 BOUNDARY_BITS = 4          # boundary prob 1/16 per eligible position
 _BOUNDARY_MASK = (1 << BOUNDARY_BITS) - 1
 MIN_CHUNK = 8              # tokens; resync lower bound

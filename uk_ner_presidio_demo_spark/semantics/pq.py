@@ -49,6 +49,13 @@ def pq_train(sample: np.ndarray) -> np.ndarray:
     """(PQ_M, PQ_K, subdim) codebooks from the float64 sample (rows MUST
     be vec_id-ascending — init is the first PQ_K rows per subspace)."""
     sample = np.asarray(sample, dtype=np.float64)
+    if sample.ndim != 2 or sample.shape[0] < PQ_K:
+        raise ValueError(
+            f"PQ training needs >= PQ_K={PQ_K} sample vectors "
+            f"(got shape {sample.shape}); a smaller corpus should use "
+            "the exact brute-force path instead of silently shrinking "
+            "the codebooks"
+        )
     books = []
     for m in range(PQ_M):
         sv = _sub(sample, m)
