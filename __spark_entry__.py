@@ -408,6 +408,30 @@ def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivfpq(read_tpch(spark, sf_dir, "embeddings"))
 
 
+_PQ_INDEX_CACHE: dict[str, dict] = {}
+
+
+def _q_ann_ivfpq_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment-shaped IVF-PQ (bench-only; the self-contained twin
+    ann_ivfpq_topk is the board row): the index (trained centroids, PQ
+    codebooks, materialized codes table, query set) is built ONCE per
+    process and cached — exactly the train-once/encode-once/query-many
+    shape of a real ANN deployment — so under bench.py's best-of-2 the
+    reported wall is the pure QUERY path, which scans only
+    (vec_id, cell, codes) and never touches raw embeddings
+    (plan-gated in tests/test_similarity.py)."""
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        ann_topk_pq_index, build_pq_index,
+    )
+
+    idx = _PQ_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = _PQ_INDEX_CACHE[sf_dir] = build_pq_index(
+            read_tpch(spark, sf_dir, "embeddings")
+        )
+    return ann_topk_pq_index(idx)
+
+
 def _q_txt_freq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact corpus-frequency profile (the CCNet perplexity-filter
     stand-in; off-board: live-SQL-oracled in tests/test_repetition.py)."""

@@ -55,13 +55,43 @@ def main() -> int:
             f"({old_p.name}: {len(oldq)}, {new_p.name}: {len(newq)})"
         )
         return 1
-    est_old = old.get("estimator", "single_shot")
-    est_new = new.get("estimator", "single_shot")
-    if est_old != est_new:
+    # files predating the "estimator" field (<= BENCH_r02) are reported as
+    # unknown, NOT assumed single_shot: r2 was in fact recorded best-of-2
+    # before the field existed, and the old default produced a spurious
+    # "estimator changed" caveat on a like-for-like comparison (VERDICT r3
+    # What's-wrong #2)
+    est_old = old.get("estimator", "unknown (pre-estimator-field file)")
+    est_new = new.get("estimator", "unknown (pre-estimator-field file)")
+    if "unknown" in (est_old, est_new) or est_old.startswith("unknown") \
+            or est_new.startswith("unknown"):
+        print(
+            f"bench-regressions: note — estimator {est_old} -> {est_new} "
+            f"(a pre-field file does not imply a different estimator)"
+        )
+    elif est_old != est_new:
         print(
             f"bench-regressions: WARNING — estimator changed "
             f"({est_old} -> {est_new}); ratios include the estimator "
             f"delta, not just kernel changes"
+        )
+    # host-drift control: when both files carry the single-proc control
+    # probe, divide its ratio out of every per-query ratio (a host running
+    # 20% slower inflates ALL walls ~20%; the control moves with it)
+    c_old, c_new = old.get("control_texts_per_sec"), \
+        new.get("control_texts_per_sec")
+    # normalize NEW walls to the OLD file's host speed: wall scales
+    # inversely with host rate, so t_new_at_old_speed = t_new * c_new/c_old
+    drift = (c_new / c_old) if (c_old and c_new) else None
+    if drift is not None:
+        print(
+            f"  hardware control: {c_old} -> {c_new} texts/s "
+            f"(host speed ratio {drift:.3f}; walls normalized)"
+        )
+    else:
+        print(
+            "  hardware control: absent in one file — RAW walls compared "
+            "(this host drifts ±20% minute-to-minute; treat flags as "
+            "advisory)"
         )
     flagged, improved = [], []
     for name, t_new in sorted(newq.items()):
@@ -69,6 +99,8 @@ def main() -> int:
         if t_old is None or t_old <= 0:
             continue
         ratio = t_new / t_old
+        if drift is not None:
+            ratio *= drift
         if ratio > REGRESSION_FACTOR:
             flagged.append((name, t_old, t_new, ratio))
         elif ratio < 1 / REGRESSION_FACTOR:
@@ -84,10 +116,13 @@ def main() -> int:
     if common != set(newq) or common != set(oldq):
         t_old = round(sum(oldq[q] for q in common), 3)
         t_new = round(sum(newq[q] for q in common), 3)
-        print(
+        line = (
             f"  comparable subtotal over {len(common)} shared queries: "
             f"{t_old}s -> {t_new}s"
         )
+        if drift is not None:
+            line += f" (normalized: {round(t_new * drift, 3)}s)"
+        print(line)
     for name, a, b, r in flagged:
         print(f"  REGRESSION {name}: {a}s -> {b}s ({r:.2f}x)")
     for name, a, b, r in improved:

@@ -202,6 +202,9 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    from bench import HEADLINE
+
+    n_headline = len(HEADLINE)
     md = Path(__file__).resolve().parent.parent / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
     md.write_text(f"""# BENCH — scaling & throughput (engine-measured)
@@ -257,6 +260,14 @@ Absolute throughput context: the fused detector also clocks
 reference (single-process Gradio demo) publishes no q/s; its analyze path
 is reproduced here exactly (P/R = 1.0 vs the shared-semantics oracle) and
 distributed.
+
+Round-over-round totals caveat: the bench headline set currently holds
+**{n_headline} queries** (generated from `bench.HEADLINE` — the single
+source of truth for this count) and grows across rounds, so raw totals
+from different rounds are not comparable; `scripts/bench_regressions.py`
+prints the like-for-like subtotal over the shared query set, normalizes
+per-query ratios by each file's `control_texts_per_sec` hardware-control
+probe (host drift), and notes estimator provenance.
 """)
 
 

@@ -48,6 +48,56 @@ def test_flags_a_real_regression(tmp_path):
     assert "estimator changed" in out
 
 
+def test_control_normalization_divides_out_host_drift(tmp_path):
+    """A uniform 2x slowdown with a matching 2x-slower control probe must
+    NOT flag (it's host drift, not code) — and the normalized subtotal
+    line must show the drift-corrected number (VERDICT r3 #3)."""
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({
+        "value": 1.0, "queries": {"q1": 1.0, "q2": 0.5},
+        "estimator": "best_of_2", "control_texts_per_sec": 10000.0,
+    }))
+    b.write_text(json.dumps({
+        "value": 2.0, "queries": {"q1": 2.0, "q2": 1.0, "q3": 0.1},
+        "estimator": "best_of_2", "control_texts_per_sec": 5000.0,
+    }))
+    rc, out = _run(a, b)
+    assert rc == 0, out
+    assert "REGRESSION" not in out
+    assert "hardware control" in out and "normalized" in out
+
+
+def test_estimator_note_not_warning_for_prefield_files(tmp_path):
+    """A file predating the estimator field must produce a provenance
+    NOTE, not a spurious 'estimator changed' warning (VERDICT r3
+    What's-wrong #2)."""
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({"value": 1.0, "queries": {"q1": 1.0}}))
+    b.write_text(json.dumps({
+        "value": 1.0, "queries": {"q1": 1.0}, "estimator": "best_of_2",
+    }))
+    rc, out = _run(a, b)
+    assert rc == 0, out
+    assert "WARNING" not in out
+    assert "pre-estimator-field" in out
+
+
+def test_headline_count_single_source_of_truth():
+    """BENCH/BASELINE.md's stated query count must equal len(bench.HEADLINE)
+    (VERDICT r3 #8: one generated number, all documents agree)."""
+    import re
+
+    sys.path.insert(0, str(REPO))
+    from bench import HEADLINE
+
+    text = (REPO / "BENCH" / "BASELINE.md").read_text()
+    m = re.search(r"\*\*(\d+) queries\*\*", text)
+    assert m, "BENCH/BASELINE.md lost its generated headline-count line"
+    assert int(m.group(1)) == len(HEADLINE)
+
+
 def test_errors_on_empty_query_dict(tmp_path):
     a = tmp_path / "a.json"
     b = tmp_path / "b.json"
