@@ -186,6 +186,26 @@ class TestLcsEquivalence:
         assert wall < 1.0, f"verify took {wall:.2f}s"
 
 
+def test_partial_overlap_dedup_apply_keeps_min_and_unrelated(spark):
+    """The substring-level dedup APPLY drops the later doc of a verified
+    overlapping pair and keeps singletons — pairs->CC->keep-min, same
+    clustering as doc_dedup_apply."""
+    from uk_ner_presidio_demo_spark.operators.chunking import (
+        partial_overlap_dedup_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, _PREFIX + " " + _SHARED), (2, _SHARED + " " + _SUFFIX),
+         (3, " ".join(f"інше{i}" for i in range(120)))],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in partial_overlap_dedup_apply(docs).select("doc_id").collect()
+    )
+    assert kept == [1, 3]  # 2 clustered with 1 (min keeps), 3 singleton
+
+
 def test_verified_partial_overlap_confirms_span(spark):
     """The verify stage keeps the planted prefix+shared/shared+suffix pair
     (150-token common span) and reports a span >= the threshold; raising

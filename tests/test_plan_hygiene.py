@@ -49,6 +49,35 @@ def test_cooccurrence_runs_detection_once(spark, sf01):
     assert "Scan ExistingRDD" in plan  # the checkpointed refs
 
 
+def test_hash_sample_is_scan_local(spark, sf01):
+    """doc_hash_sample (r4 board row): both membership decisions are
+    codegen hash filters on the scan side — the only join is the
+    broadcast of the sampled-ids leg; no shuffle exchange anywhere."""
+    plan = _plan(em.queries()["doc_hash_sample"](spark, sf01))
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "xxhash64" in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_review_mentions_runs_detection_once(spark, sf01):
+    """kg_review_mentions feeds the mentions frame to THREE consumers
+    (keys + semi leg + anti leg): the lineage cut must keep the
+    detection kernel out of the final plan (kernel ran in the
+    materialization job), same invariant as kg_entity_cooccurrence."""
+    plan = _plan(em.queries()["kg_review_mentions"](spark, sf01))
+    assert plan.count("MapInPandas") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_partial_overlap_verify_scores_candidates_once(spark, sf01):
+    """The exact-span verify UDF must evaluate ONCE per candidate pair —
+    the asNondeterministic single-eval guard (the _doc_jaccard_udf
+    lesson), now on the driver board."""
+    plan = _plan(em.queries()["doc_partial_overlap"](spark, sf01))
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_detection_is_single_arrow_crossing(spark, sf01):
     """Exactly ONE Python stage (MapInPandas) in the mentions plan — the
     fused-detector invariant (SURVEY.md §4.3)."""

@@ -146,6 +146,23 @@ def partial_overlap_pairs(docs: DataFrame, min_shared: int = MIN_SHARED_CHUNKS,
     return pairs
 
 
+def partial_overlap_dedup_apply(docs: DataFrame,
+                                min_span_tokens: int = MIN_SPAN_TOKENS,
+                                ) -> DataFrame:
+    """Substring-level dedup APPLICATION: verified partial-overlap pairs
+    -> connected components -> keep the minimum doc_id per cluster — the
+    same pairs->CC->keep-min shape as operators.dedup.dedup_apply (which
+    does the clustering; only pair DISCOVERY differs).  This is the
+    operator a pipeline runs to drop boilerplate-sharing documents that
+    whole-doc MinHash never pairs."""
+    from .dedup import dedup_apply
+
+    pairs = verified_partial_overlaps(
+        docs, min_span_tokens=min_span_tokens
+    ).select("doc_a", "doc_b")
+    return dedup_apply(docs, pairs)
+
+
 @pandas_udf(T.IntegerType())
 def _lcs_tokens_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     # Linear-time exact verify (VERDICT r3 #1: the quadratic DP was
