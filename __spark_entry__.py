@@ -286,22 +286,6 @@ def _confirmed_keys(m: DataFrame) -> DataFrame:
     )
 
 
-def _q_confirmed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-9/J-6 left-semi: mentions surviving the (deterministic) review."""
-    from uk_ner_presidio_demo_spark.operators.review import confirmed_mentions
-
-    m = _q_mentions(spark, sf_dir)
-    return confirmed_mentions(m, _confirmed_keys(m))
-
-
-def _q_rejected_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J-6 left-anti twin: reviewer-rejected mentions (audit path)."""
-    from uk_ner_presidio_demo_spark.operators.review import rejected_mentions
-
-    m = _q_mentions(spark, sf_dir)
-    return rejected_mentions(m, _confirmed_keys(m))
-
-
 def _q_kg_review_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-9 + J-6 in one board row (merged from the former
     kg_confirmed_mentions / kg_rejected_mentions rows — VERDICT r3 #1
@@ -541,13 +525,6 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ann_topk_bruteforce(read_tpch(spark, sf_dir, "embeddings"))
-
-
-def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH-bucketed top-k (the approximate scale path)."""
-    from uk_ner_presidio_demo_spark.operators.similarity import ann_topk_lsh
-
-    return ann_topk_lsh(read_tpch(spark, sf_dir, "embeddings"))
 
 
 def _q_ann_exact_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,20 +894,6 @@ def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving image resize planning (pure Catalyst)."""
-    from uk_ner_presidio_demo_spark.operators.multimodal import resize_plan
-
-    return resize_plan(_read_media(spark, sf_dir))
-
-
-def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling via sequence+posexplode (JVM-only UDTF shape)."""
-    from uk_ner_presidio_demo_spark.operators.multimodal import frame_sample
-
-    return frame_sample(_read_media(spark, sf_dir))
-
-
 def _q_mm_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize planning + video frame sampling in one board row
     (merged from the former mm_resize_plan / mm_frame_sample rows —
@@ -1010,31 +973,6 @@ def _q_tpch_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
-    )
-
-
-def _q_tpch_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J-6 left-semi: customers having >=1 high-priority order."""
-    o = read_tpch(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    c = read_tpch(spark, sf_dir, "customer")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_mktsegment"
-    )
-
-
-def _q_tpch_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J-6 left-anti: customers with no URGENT order.  (The r1/r2 version
-    anti-joined on ALL orders, which is empty at every driver sf — a 0=0
-    hash match proves nothing, VERDICT r2 #3; this predicate keeps both
-    sides of the anti-join populated.)"""
-    o = read_tpch(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    c = read_tpch(spark, sf_dir, "customer")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_acctbal"
     )
 
 
