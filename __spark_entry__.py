@@ -392,6 +392,15 @@ def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivfpq(read_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrubbing (bench + pytest-twin-oracled; also a corpus
+    pipeline stage): the reference's detect+anonymize applied to the
+    documents table in one mapInPandas crossing."""
+    from uk_ner_presidio_demo_spark.operators.scrub import scrub_documents
+
+    return scrub_documents(read_tpch(spark, sf_dir, "documents"))
+
+
 _PQ_INDEX_CACHE: dict[str, dict] = {}
 
 

@@ -16,7 +16,7 @@ from uk_ner_presidio_demo_spark.semantics.sparkhash import (
     pmod, xxhash64_long,
 )
 
-STAGES = ["profile", "clean", "split", "decontaminate", "pack",
+STAGES = ["profile", "clean", "split", "decontaminate", "scrub", "pack",
           "pack_stats"]
 
 
@@ -49,7 +49,8 @@ def test_stage_rows_consistent(first_run, sf01):
     assert 0 < rows["clean"] < n_docs          # filters bite, not kill
     assert rows["split"] == rows["clean"]      # split covers cleaned set
     assert rows["decontaminate"] <= rows["split"]
-    assert rows["pack"] == rows["decontaminate"]  # every kept doc packed
+    assert rows["scrub"] == rows["decontaminate"]  # scrub is 1:1
+    assert rows["pack"] == rows["scrub"]           # every kept doc packed
 
 
 def test_split_matches_sampling_twin(first_run):

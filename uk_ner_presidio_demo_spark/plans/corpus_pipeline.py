@@ -8,6 +8,10 @@ into the flow a real 100-TB data-prep run executes:
       -> split            (deterministic hash train/eval split)
       -> decontaminate    (drop train docs leaking into the eval slice,
                            exact + MinHash-near levels)
+      -> scrub            (PII removal — detect + [TYPE] splice, the
+                           reference's analyzer over the corpus; runs
+                           BEFORE packing because replacements change
+                           token counts)
       -> pack             (greedy token-budget packs in xxhash64 buckets)
       -> pack_stats + metrics table
 
@@ -36,6 +40,7 @@ from ..operators.contamination import decontaminate
 from ..operators.dedup import clean_corpus
 from ..operators.packing import pack_documents, pack_stats
 from ..operators.sampling import train_eval_split
+from ..operators.scrub import scrub_documents
 from ..operators.textstats import lang_quality, text_profile
 from ..sources.tables import read_tpch
 from .pipeline import StagedPipeline, _fingerprint_path
@@ -91,10 +96,22 @@ class CorpusPipeline(StagedPipeline):
             lambda: decontaminate(train, eval_docs),
         )
 
-        fp_pack = fp_split + f"|budget={PACK_BUDGET}|b={PACK_BUCKETS}"
+        # PII scrub BEFORE packing: replacements change token counts, so
+        # packs must be built over the text that actually ships
+        fp_scrub = fp_split + "|decon|scrub"
+        scrubbed = self._stage(
+            "scrub", fp_scrub,
+            lambda: scrub_documents(decon).select(
+                "doc_id", "n_pii",
+                F.col("scrubbed_text").alias("text"),
+            ),
+        )
+
+        fp_pack = fp_scrub + f"|budget={PACK_BUDGET}|b={PACK_BUCKETS}"
         packs = self._stage(
             "pack", fp_pack,
-            lambda: pack_documents(decon, budget_tokens=PACK_BUDGET,
+            lambda: pack_documents(scrubbed.select("doc_id", "text"),
+                                   budget_tokens=PACK_BUDGET,
                                    n_buckets=PACK_BUCKETS),
         )
         stats = self._stage(
@@ -108,6 +125,7 @@ class CorpusPipeline(StagedPipeline):
             "clean": cleaned_ids,
             "split": split,
             "train_clean": decon,
+            "scrubbed": scrubbed,
             "packs": packs,
             "pack_stats": stats,
         }
