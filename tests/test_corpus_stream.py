@@ -57,6 +57,30 @@ def test_exact_gate_drops_leaks_in_every_batch(spark, tmp_path):
     assert list(got.columns) == ["doc_id", "text"]  # schema-preserving
 
 
+def test_scrub_composes_with_ingest_gate(spark, tmp_path):
+    """PII scrubbing at ingest: scrub_documents is a stateless
+    mapInPandas, so it runs directly on the gated stream — leaks are
+    dropped AND surviving docs arrive scrubbed, across micro-batches."""
+    rows = [
+        (0, "пишіть на ceo@example.ua щодо зустрічі", 0),
+        (1, _LEAK, 0),                        # exact leak: must drop
+        (2, "документ без персональних даних", 1),
+    ]
+    from uk_ner_presidio_demo_spark.operators.scrub import scrub_documents
+
+    gated = streaming_decontaminate(
+        _stream(spark, tmp_path, rows), _eval_docs(spark)
+    )
+    got = run_available_now(
+        scrub_documents(gated), "stream_scrub",
+        str(tmp_path / "ck"), "append",
+    ).toPandas().set_index("doc_id")
+    assert set(got.index) == {0, 2}           # leak never reached scrub
+    assert "[EMAIL_ADDRESS]" in got.loc[0, "scrubbed_text"]
+    assert "ceo@example.ua" not in got.loc[0, "scrubbed_text"]
+    assert got.loc[2, "n_pii"] == 0
+
+
 def test_alerts_surface_near_candidates(spark, tmp_path):
     near = _NEAR_BASE + " додаток"            # near-dup of eval 9002
     rows = [
