@@ -62,6 +62,23 @@ def test_plan_is_single_crossing_no_shuffle(spark, sf01):
     assert "Exchange" not in plan
 
 
+def test_scrub_is_idempotent_on_corpus(sf01):
+    """The classic anonymization pitfall — a splice creating a NEW match
+    (e.g. digit runs merging) — cannot happen with bracketed alpha tags:
+    scrubbing twice equals scrubbing once, checked on the full corpus
+    and on the planted-PII shapes."""
+    texts = list(
+        pd.read_parquet(f"{sf01}/documents.parquet")["text"]
+    ) + [
+        "Звертайтесь на admin@example.ua або +380501234567.",
+        "Мій ІПН 1759013776.",
+    ]
+    for t in texts:
+        _, once = _twin(t)
+        _, twice = _twin(once)
+        assert once == twice
+
+
 def test_mostly_pii_docs_are_flaggable(spark):
     """n_pii drives the downstream drop filter a real pipeline applies."""
     docs = spark.createDataFrame(
