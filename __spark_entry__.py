@@ -393,9 +393,10 @@ def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus PII scrubbing (bench + pytest-twin-oracled; also a corpus
-    pipeline stage): the reference's detect+anonymize applied to the
-    documents table in one mapInPandas crossing."""
+    """Corpus PII scrubbing (driver board row, golden-parquet oracle;
+    also a corpus pipeline stage and benched): the reference's
+    detect+anonymize applied to the documents table in one mapInPandas
+    crossing."""
     from uk_ner_presidio_demo_spark.operators.scrub import scrub_documents
 
     return scrub_documents(read_tpch(spark, sf_dir, "documents"))
@@ -603,7 +604,10 @@ def _q_txt_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_txt_unigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM scoring substrate (corpus-count join; no UDF)."""
+    """Unigram-LM scoring substrate (corpus-count join; no UDF).
+    Demoted r4 (board slot went to doc_pii_scrub) — keeps its live SQL
+    oracle in tests/test_demoted_queries.py; txt_freq_profile remains
+    the board's corpus-frequency evidence."""
     from uk_ner_presidio_demo_spark.operators.textstats import unigram_probs
 
     return unigram_probs(read_tpch(spark, sf_dir, "documents"))
@@ -1173,7 +1177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in tests/test_demoted_queries.py like earlier demotions: kg_top_surfaces,
     ann_ivf_topk), and filled with the formerly off-board r3 operators:
     doc_partial_overlap (verified), doc_hash_sample (+ split),
-    txt_repetition, txt_freq_profile, ann_ivfpq_topk, stream_triples."""
+    txt_repetition, txt_freq_profile, ann_ivfpq_topk, stream_triples.
+    Late r4: txt_unigram_probs demoted (live-SQL pytest mirror; the
+    corpus-frequency evidence stays on the board via txt_freq_profile)
+    for doc_pii_scrub — the reference's detect+anonymize over the
+    training corpus, golden-parquet-oracled."""
     return {
         "kg_mentions": _q_mentions,
         "kg_anonymized": _q_anonymized,
@@ -1206,7 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_text_profile": _q_txt_text_profile,
         "txt_quality": _q_txt_quality,
         "txt_stopword_stats": _q_txt_stopword_stats,
-        "txt_unigram_probs": _q_txt_unigram_probs,
+        "doc_pii_scrub": _q_doc_pii_scrub,
         "txt_repetition": _q_txt_repetition,
         "txt_freq_profile": _q_txt_freq_profile,
         "files_ingest": _q_files_ingest,
@@ -1513,23 +1521,9 @@ def oracle_sql() -> dict[str, str]:
             FROM toks WHERE token != ''
             GROUP BY doc_id
         """,
-        "txt_unigram_probs": """
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(lower(text)),
-                                                    '\\s+')) AS token
-                FROM documents
-            ), toks2 AS (
-                SELECT * FROM toks WHERE token != ''
-            ), counts AS (
-                SELECT token, count(*) AS tok_count FROM toks2 GROUP BY token
-            ), total AS (
-                SELECT sum(tok_count) AS tt FROM counts
-            )
-            SELECT t.doc_id, t.token,
-                   CAST(c.tok_count AS BIGINT) AS tok_count,
-                   c.tok_count / (SELECT tt * 1.0 FROM total) AS p_unigram
-            FROM toks2 t JOIN counts c USING (token)
+        "doc_pii_scrub": f"""
+            SELECT doc_id, CAST(n_pii AS INTEGER) AS n_pii, scrubbed_text
+            FROM read_parquet('{dg}/golden_scrub.parquet')
         """,
         "kg_top_surfaces_salted": f"""
             SELECT entity_type, norm_surface, count(*) AS n_mentions

@@ -103,6 +103,29 @@ def test_unit_lang_and_quality_match_fused(spark, sf01):
             FROM events
             """,
         ),
+        (
+            # demoted r4: board slot went to doc_pii_scrub; SAME live
+            # SQL oracle it held on the board
+            em._q_txt_unigram_probs,
+            """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS token
+                FROM documents
+            ), toks2 AS (
+                SELECT * FROM toks WHERE token != ''
+            ), counts AS (
+                SELECT token, count(*) AS tok_count FROM toks2 GROUP BY token
+            ), total AS (
+                SELECT sum(tok_count) AS tt FROM counts
+            )
+            SELECT t.doc_id, t.token,
+                   CAST(c.tok_count AS BIGINT) AS tok_count,
+                   c.tok_count / (SELECT tt * 1.0 FROM total) AS p_unigram
+            FROM toks2 t JOIN counts c USING (token)
+            """,
+        ),
     ],
 )
 def test_demoted_query_still_matches_its_oracle(spark, sf01, qfn, sql):

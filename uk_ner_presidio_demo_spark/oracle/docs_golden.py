@@ -17,7 +17,7 @@ from ..semantics.docsim import (
     emb_block_keys, rp_bucket, simhash64, simhash_segments, hamming64,
 )
 
-DOCS_GOLDEN_VERSION = 9
+DOCS_GOLDEN_VERSION = 10
 
 # Driver-row sampling parameters (engine twin: operators/sampling.py via
 # __spark_entry__._q_doc_hash_sample) — fixed so the single-process
@@ -274,6 +274,23 @@ def ensure_docs_golden(sf_dir: str) -> Path:
     pd.DataFrame(
         hs_rows, columns=["doc_id", "in_sample", "split"]
     ).to_parquet(out_dir / "golden_hash_sample.parquet", index=False)
+
+    # --- corpus PII scrub (engine twin: operators/scrub.py — the
+    # reference's detect+anonymize semantics over the documents table) ---
+    from ..semantics.anonymize import splice
+    from ..semantics.detect import detect_mentions
+
+    scrub_rows = []
+    for d in sorted(texts):
+        mentions, _ = detect_mentions(texts[d])
+        scrub_rows.append(
+            (d, len(mentions),
+             splice(texts[d],
+                    [(m.entity_type, m.start, m.end) for m in mentions]))
+        )
+    pd.DataFrame(
+        scrub_rows, columns=["doc_id", "n_pii", "scrubbed_text"]
+    ).to_parquet(out_dir / "golden_scrub.parquet", index=False)
 
     # --- ANN + near-dup over the shared numpy kernel ---
     import numpy as np
