@@ -402,6 +402,18 @@ def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_documents(read_tpch(spark, sf_dir, "documents"))
 
 
+def _q_doc_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup apply (off-board: twin-exact-tested in
+    tests/test_chunking.py on planted spans AND the full corpus; benched
+    for the one-agg/no-self-join scale story).  Board rotation candidate
+    for r5."""
+    from uk_ner_presidio_demo_spark.operators.chunking import (
+        excise_duplicate_chunks,
+    )
+
+    return excise_duplicate_chunks(read_tpch(spark, sf_dir, "documents"))
+
+
 _PQ_INDEX_CACHE: dict[str, dict] = {}
 
 

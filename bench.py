@@ -37,6 +37,7 @@ HEADLINE = [
     "txt_repetition",
     "txt_freq_profile",
     "doc_pii_scrub",
+    "doc_span_excise",
     "ann_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
@@ -106,6 +107,7 @@ def main() -> None:
     qmap.setdefault("ann_topk", entrymod._q_ann_topk)
     qmap.setdefault("ann_pq_topk", entrymod._q_ann_pq_topk)
     qmap.setdefault("doc_pii_scrub", entrymod._q_doc_pii_scrub)
+    qmap.setdefault("doc_span_excise", entrymod._q_doc_span_excise)
     # deployment query path: run 1 builds+caches the PQ index (train/encode
     # once), run 2 hits the cache — best-of-2 reports the pure query-path
     # wall over the codes table (no raw-embedding scan)

@@ -206,6 +206,81 @@ def test_partial_overlap_dedup_apply_keeps_min_and_unrelated(spark):
     assert kept == [1, 3]  # 2 clustered with 1 (min keeps), 3 singleton
 
 
+class TestExciseDuplicateChunks:
+    """Span-level dedup apply: the global-first occurrence of every chunk
+    survives, later occurrences are cut out of their docs."""
+
+    @staticmethod
+    def _twin(texts: dict[int, str]) -> dict[int, tuple[int, int, str]]:
+        owner: dict[str, tuple[int, int]] = {}
+        chunks = {d: token_chunks(t) for d, t in sorted(texts.items())}
+        for d in sorted(chunks):
+            for idx, (_, _, h) in enumerate(chunks[d]):
+                if h not in owner:
+                    owner[h] = (d, idx)
+        out = {}
+        for d, t in texts.items():
+            toks = t.split()
+            drop: set[int] = set()
+            for idx, (s, e, h) in enumerate(chunks[d]):
+                if owner[h] != (d, idx):
+                    drop.update(range(s, e))
+            kept = [tk for i, tk in enumerate(toks) if i not in drop]
+            out[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+        return out
+
+    def test_planted_shared_span_is_excised_from_later_doc(self, spark):
+        from uk_ner_presidio_demo_spark.operators.chunking import (
+            excise_duplicate_chunks,
+        )
+
+        texts = {
+            1: _PREFIX + " " + _SHARED,
+            2: _SHARED + " " + _SUFFIX,
+            3: " ".join(f"інше{i}" for i in range(120)),
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in excise_duplicate_chunks(docs).collect()}
+        # owner doc keeps everything (no earlier occurrence exists)
+        assert got[1]["n_excised_tokens"] == 0
+        assert got[1]["clean_text"] == texts[1]
+        # later doc loses (most of) the shared span but SURVIVES
+        assert got[2]["n_excised_tokens"] >= 100
+        assert "хвіст0" in got[2]["clean_text"]     # unique tail kept
+        # unrelated doc untouched
+        assert got[3]["n_excised_tokens"] == 0
+        # token accounting + exact twin
+        want = self._twin(texts)
+        for d, r in got.items():
+            n, ex, clean = want[d]
+            assert (r["n_tokens"], r["n_excised_tokens"],
+                    r["clean_text"]) == (n, ex, clean)
+
+    def test_matches_python_twin_on_corpus(self, spark, sf01):
+        from uk_ner_presidio_demo_spark.operators.chunking import (
+            excise_duplicate_chunks,
+        )
+
+        texts = dict(
+            pd.read_parquet(f"{sf01}/documents.parquet")[["doc_id", "text"]]
+            .itertuples(index=False)
+        )
+        got = excise_duplicate_chunks(
+            read_tpch(spark, sf01, "documents")
+        ).toPandas().set_index("doc_id").sort_index()
+        want = self._twin(texts)
+        assert len(got) == len(want)
+        total_excised = 0
+        for d, (n, ex, clean) in want.items():
+            row = got.loc[d]
+            assert (row["n_tokens"], row["n_excised_tokens"],
+                    row["clean_text"]) == (n, ex, clean)
+            total_excised += ex
+        assert total_excised > 0  # non-vacuous on this corpus
+
+
 def test_verified_partial_overlap_confirms_span(spark):
     """The verify stage keeps the planted prefix+shared/shared+suffix pair
     (150-token common span) and reports a span >= the threshold; raising

@@ -146,6 +146,77 @@ def partial_overlap_pairs(docs: DataFrame, min_shared: int = MIN_SHARED_CHUNKS,
     return pairs
 
 
+EXCISE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("n_excised_tokens", T.IntegerType()),
+        T.StructField("clean_text", T.StringType()),
+    ]
+)
+
+
+def excise_duplicate_chunks(docs: DataFrame) -> DataFrame:
+    """SPAN-level dedup apply (Lee et al., arXiv:2107.06499, approximated
+    at chunk granularity): every chunk occurrence except the GLOBAL first
+    (lexicographic (doc_id, chunk_idx) per chunk hash) is cut out of its
+    document's token stream; the document itself survives with the
+    duplicated span removed.  Whole-doc dedup drops documents; this drops
+    the repeated boilerplate INSIDE them — the other half of substring
+    dedup.
+
+    Scale shape: the chunk kernel runs once (checkpoint); first-occurrence
+    ownership is ONE hash aggregate (min struct — no self-join, so
+    ubiquitous boilerplate costs nothing extra); cut ranges join back to
+    their docs and one Arrow kernel rebuilds the text.  Deterministic at
+    any parallelism: ownership is a pure function of (hash, doc_id,
+    chunk_idx).  Token accounting: n_tokens = kept + excised (tested)."""
+    ch = doc_chunks(docs).localCheckpoint(eager=True)
+    first = ch.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    )
+    cuts = (
+        ch.join(first, "chunk_hash")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("chunk_idx") != F.col("first.chunk_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("start_tok", "end_tok")).alias("cut")
+        )
+    )
+    joined = docs.select("doc_id", "text").join(cuts, "doc_id", "left")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, cut in zip(
+                pdf["doc_id"], pdf["text"], pdf["cut"]
+            ):
+                toks = text.split()  # same boundaries as the chunker's
+                if cut is None or (isinstance(cut, float) and pd.isna(cut)):
+                    ranges = []
+                else:
+                    ranges = [(int(r["start_tok"]), int(r["end_tok"]))
+                              for r in cut]
+                drop = set()
+                for s, e in ranges:
+                    drop.update(range(s, e))
+                kept = [t for i, t in enumerate(toks) if i not in drop]
+                rows.append(
+                    (int(doc_id), len(toks), len(toks) - len(kept),
+                     " ".join(kept))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_tokens", "n_excised_tokens",
+                         "clean_text"],
+            )
+
+    return joined.mapInPandas(kernel, EXCISE_SCHEMA)
+
+
 def partial_overlap_dedup_apply(docs: DataFrame,
                                 min_span_tokens: int = MIN_SPAN_TOKENS,
                                 ) -> DataFrame:
