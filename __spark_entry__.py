@@ -403,10 +403,9 @@ def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level dedup apply (off-board: twin-exact-tested in
-    tests/test_chunking.py on planted spans AND the full corpus; benched
-    for the one-agg/no-self-join scale story).  Board rotation candidate
-    for r5."""
+    """Span-level dedup apply (driver board row, golden-parquet oracle;
+    twin-exact-tested in tests/test_chunking.py on planted spans AND the
+    full corpus; benched for the one-agg/no-self-join scale story)."""
     from uk_ner_presidio_demo_spark.operators.chunking import (
         excise_duplicate_chunks,
     )
@@ -644,12 +643,19 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-shape quality features + Cyrillic/Latin language heuristic in one
-    scan (absorbs the former txt_lang_id row; quality_score and lang_id
-    stay as the individually-tested unit operators)."""
-    from uk_ner_presidio_demo_spark.operators.textstats import lang_quality
+    """C4-shape quality features + Cyrillic/Latin language heuristic + the
+    stopword-ratio feature in one board row (absorbed txt_lang_id in r3
+    and txt_stopword_stats in r4 — same per-doc grain, one row of
+    evidence; the unit operators stay individually tested)."""
+    from uk_ner_presidio_demo_spark.operators.textstats import (
+        lang_quality, stopword_stats,
+    )
 
-    return lang_quality(read_tpch(spark, sf_dir, "documents"))
+    docs = read_tpch(spark, sf_dir, "documents")
+    sw = stopword_stats(docs).select(
+        "doc_id", "n_stopwords", "stopword_ratio"
+    )
+    return lang_quality(docs).join(sw, "doc_id")
 
 
 def _read_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,7 +1199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Late r4: txt_unigram_probs demoted (live-SQL pytest mirror; the
     corpus-frequency evidence stays on the board via txt_freq_profile)
     for doc_pii_scrub — the reference's detect+anonymize over the
-    training corpus, golden-parquet-oracled."""
+    training corpus, golden-parquet-oracled; and txt_stopword_stats
+    merged into txt_quality (same per-doc grain, standalone pytest
+    mirror kept) freeing the slot for doc_span_excise — span-level
+    dedup apply, golden-parquet-oracled."""
     return {
         "kg_mentions": _q_mentions,
         "kg_anonymized": _q_anonymized,
@@ -1225,7 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": _q_emb_neardup,
         "txt_text_profile": _q_txt_text_profile,
         "txt_quality": _q_txt_quality,
-        "txt_stopword_stats": _q_txt_stopword_stats,
+        "doc_span_excise": _q_doc_span_excise,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "txt_repetition": _q_txt_repetition,
         "txt_freq_profile": _q_txt_freq_profile,
@@ -1500,8 +1509,21 @@ def oracle_sql() -> dict[str, str]:
                        length(text) - length(regexp_replace(text,
                            '[A-Za-z]', '', 'g')) AS n_lat
                 FROM documents
+            ), sw AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN token IN ('і', 'й', 'та', 'або', 'але', 'що', 'як', 'до', 'на', 'у', 'в', 'з', 'із', 'зі', 'за', 'від', 'про', 'по', 'при', 'для', 'без', 'це', 'цей', 'ця', 'ці', 'той', 'те', 'він', 'вона', 'воно', 'вони', 'ми', 'ви', 'я', 'ти', 'не', 'ні', 'так', 'же', 'б', 'би', 'його', 'її', 'їх', 'а', 'о', 'є', 'був', 'була', 'було', 'були', 'бути')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+                       sum(CASE WHEN token IN ('і', 'й', 'та', 'або', 'але', 'що', 'як', 'до', 'на', 'у', 'в', 'з', 'із', 'зі', 'за', 'від', 'про', 'по', 'при', 'для', 'без', 'це', 'цей', 'ця', 'ці', 'той', 'те', 'він', 'вона', 'воно', 'вони', 'ми', 'ви', 'я', 'ти', 'не', 'ні', 'так', 'же', 'б', 'би', 'його', 'її', 'їх', 'а', 'о', 'є', 'був', 'була', 'було', 'були', 'бути') THEN 1 ELSE 0 END)
+                           / (count(*) * 1.0) AS stopword_ratio
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)),
+                                                        '\\s+')) AS token
+                    FROM documents
+                ) WHERE token != ''
+                GROUP BY doc_id
             )
-            SELECT doc_id,
+            SELECT q.doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(n_punct AS BIGINT) AS n_punct,
@@ -1514,24 +1536,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_lat AS BIGINT) AS n_lat,
                    CASE WHEN n_cyr > n_lat THEN 'uk'
                         WHEN n_lat > n_cyr THEN 'lat'
-                        ELSE 'other' END AS lang_guess
-            FROM q
+                        ELSE 'other' END AS lang_guess,
+                   sw.n_stopwords, sw.stopword_ratio
+            FROM q JOIN sw USING (doc_id)
         """,
-        "txt_stopword_stats": """
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(lower(text)),
-                                                    '\\s+')) AS token
-                FROM documents
-            )
-            SELECT doc_id,
-                   CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(sum(CASE WHEN token IN ('і', 'й', 'та', 'або', 'але', 'що', 'як', 'до', 'на', 'у', 'в', 'з', 'із', 'зі', 'за', 'від', 'про', 'по', 'при', 'для', 'без', 'це', 'цей', 'ця', 'ці', 'той', 'те', 'він', 'вона', 'воно', 'вони', 'ми', 'ви', 'я', 'ти', 'не', 'ні', 'так', 'же', 'б', 'би', 'його', 'її', 'їх', 'а', 'о', 'є', 'був', 'була', 'було', 'були', 'бути')
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
-                   sum(CASE WHEN token IN ('і', 'й', 'та', 'або', 'але', 'що', 'як', 'до', 'на', 'у', 'в', 'з', 'із', 'зі', 'за', 'від', 'про', 'по', 'при', 'для', 'без', 'це', 'цей', 'ця', 'ці', 'той', 'те', 'він', 'вона', 'воно', 'вони', 'ми', 'ви', 'я', 'ти', 'не', 'ні', 'так', 'же', 'б', 'би', 'його', 'її', 'їх', 'а', 'о', 'є', 'був', 'була', 'було', 'були', 'бути') THEN 1 ELSE 0 END)
-                       / (count(*) * 1.0) AS stopword_ratio
-            FROM toks WHERE token != ''
-            GROUP BY doc_id
+        "doc_span_excise": f"""
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(n_excised_tokens AS INTEGER) AS n_excised_tokens,
+                   clean_text
+            FROM read_parquet('{dg}/golden_excised.parquet')
         """,
         "doc_pii_scrub": f"""
             SELECT doc_id, CAST(n_pii AS INTEGER) AS n_pii, scrubbed_text

@@ -104,6 +104,27 @@ def test_unit_lang_and_quality_match_fused(spark, sf01):
             """,
         ),
         (
+            # merged into txt_quality r4 (same per-doc grain); the unit
+            # operator keeps its standalone live SQL oracle here
+            em._q_txt_stopword_stats,
+            """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS token
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN token IN ('і', 'й', 'та', 'або', 'але', 'що', 'як', 'до', 'на', 'у', 'в', 'з', 'із', 'зі', 'за', 'від', 'про', 'по', 'при', 'для', 'без', 'це', 'цей', 'ця', 'ці', 'той', 'те', 'він', 'вона', 'воно', 'вони', 'ми', 'ви', 'я', 'ти', 'не', 'ні', 'так', 'же', 'б', 'би', 'його', 'її', 'їх', 'а', 'о', 'є', 'був', 'була', 'було', 'були', 'бути')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+                   sum(CASE WHEN token IN ('і', 'й', 'та', 'або', 'але', 'що', 'як', 'до', 'на', 'у', 'в', 'з', 'із', 'зі', 'за', 'від', 'про', 'по', 'при', 'для', 'без', 'це', 'цей', 'ця', 'ці', 'той', 'те', 'він', 'вона', 'воно', 'вони', 'ми', 'ви', 'я', 'ти', 'не', 'ні', 'так', 'же', 'б', 'би', 'його', 'її', 'їх', 'а', 'о', 'є', 'був', 'була', 'було', 'були', 'бути') THEN 1 ELSE 0 END)
+                       / (count(*) * 1.0) AS stopword_ratio
+            FROM toks WHERE token != ''
+            GROUP BY doc_id
+            """,
+        ),
+        (
             # demoted r4: board slot went to doc_pii_scrub; SAME live
             # SQL oracle it held on the board
             em._q_txt_unigram_probs,

@@ -17,7 +17,7 @@ from ..semantics.docsim import (
     emb_block_keys, rp_bucket, simhash64, simhash_segments, hamming64,
 )
 
-DOCS_GOLDEN_VERSION = 10
+DOCS_GOLDEN_VERSION = 11
 
 # Driver-row sampling parameters (engine twin: operators/sampling.py via
 # __spark_entry__._q_doc_hash_sample) — fixed so the single-process
@@ -274,6 +274,31 @@ def ensure_docs_golden(sf_dir: str) -> Path:
     pd.DataFrame(
         hs_rows, columns=["doc_id", "in_sample", "split"]
     ).to_parquet(out_dir / "golden_hash_sample.parquet", index=False)
+
+    # --- span-level dedup apply (engine twin:
+    # operators/chunking.py excise_duplicate_chunks): global-first chunk
+    # occurrence survives, later occurrences cut from the token stream ---
+    excise_chunks = {d: token_chunks(texts[d]) for d in sorted(texts)}
+    chunk_owner: dict[str, tuple[int, int]] = {}
+    for d in sorted(excise_chunks):
+        for idx, (_, _, h) in enumerate(excise_chunks[d]):
+            if h not in chunk_owner:
+                chunk_owner[h] = (d, idx)
+    excise_rows = []
+    for d in sorted(texts):
+        toks = texts[d].split()
+        drop: set[int] = set()
+        for idx, (s, e, h) in enumerate(excise_chunks[d]):
+            if chunk_owner[h] != (d, idx):
+                drop.update(range(s, e))
+        kept = [tk for i, tk in enumerate(toks) if i not in drop]
+        excise_rows.append(
+            (d, len(toks), len(toks) - len(kept), " ".join(kept))
+        )
+    pd.DataFrame(
+        excise_rows,
+        columns=["doc_id", "n_tokens", "n_excised_tokens", "clean_text"],
+    ).to_parquet(out_dir / "golden_excised.parquet", index=False)
 
     # --- corpus PII scrub (engine twin: operators/scrub.py — the
     # reference's detect+anonymize semantics over the documents table) ---
