@@ -101,9 +101,11 @@ def main() -> None:
     # board (r3: board slots; r4: ann_topk merged into ann_exact_lsh_topk,
     # the r3 off-board six promoted) — bench keeps timing the SAME work
     # under the SAME name so round-over-round per-query ratios stay valid.
-    # Exception by design in r4: doc_partial_overlap now times the
-    # VERIFIED operator (chunk blocking + exact-span verify) — the r3
-    # number covered blocking only.
+    # Exceptions by design in r4: doc_partial_overlap now times the
+    # VERIFIED operator (chunk blocking + exact-span verify — the r3
+    # number covered blocking only), and txt_quality absorbed the
+    # stopword-stats explode+agg (board merge) — expect both to read
+    # "slower" vs r3 under like-for-like comparison.
     qmap.setdefault("ann_topk", entrymod._q_ann_topk)
     qmap.setdefault("ann_pq_topk", entrymod._q_ann_pq_topk)
     qmap.setdefault("doc_pii_scrub", entrymod._q_doc_pii_scrub)
