@@ -70,6 +70,17 @@ def test_review_mentions_runs_detection_once(spark, sf01):
     assert "Scan ExistingRDD" in plan
 
 
+def test_incremental_canon_is_one_broadcast_join(spark, sf01):
+    """kg_incremental_canon: the standing-canon dictionary must join as a
+    BROADCAST (the delta path's whole point — no shuffle of the canon),
+    and the detection kernel stays out of the final plan (checkpoint
+    cut)."""
+    plan = _plan(em.queries()["kg_incremental_canon"](spark, sf01))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("MapInPandas") == 0
+
+
 def test_partial_overlap_verify_scores_candidates_once(spark, sf01):
     """The exact-span verify UDF must evaluate ONCE per candidate pair —
     the asNondeterministic single-eval guard (the _doc_jaccard_udf
