@@ -444,14 +444,21 @@ _PQ_INDEX_CACHE: dict[str, dict] = {}
 
 
 def _q_ann_ivfpq_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deployment-shaped IVF-PQ (bench-only; the self-contained twin
-    ann_ivfpq_topk is the board row): the index (trained centroids, PQ
-    codebooks, materialized codes table, query set) is built ONCE per
-    process and cached — exactly the train-once/encode-once/query-many
-    shape of a real ANN deployment — so under bench.py's best-of-2 the
-    reported wall is the pure QUERY path, which scans only
-    (vec_id, cell, codes) and never touches raw embeddings
-    (plan-gated in tests/test_similarity.py)."""
+    """Deployment-shaped IVF-PQ — DRIVER BOARD ROW since r5 (VERDICT r4
+    #5: the path users run at scale carries the hard DuckDB signal; its
+    oracle is golden_ann_ivfpq_topk, the SAME golden as the self-contained
+    ann_ivfpq_topk row, because the two paths are defined output-equal —
+    one golden, two execution paths, both hash-verified).  The index
+    (trained centroids, PQ codebooks, materialized codes table, bounded
+    query set) is built ONCE per process and cached — the
+    train-once/encode-once/query-many shape of a real ANN deployment — so
+    under bench.py's best-of-2 the reported wall is the pure QUERY path,
+    which scans only (vec_id, cell, codes) and never touches raw
+    embeddings (plan-gated in tests/test_similarity.py).  The board slot
+    came from ann_ivf_kmeans_topk (same trainer lineage — the distributed
+    k-means centroids inside build_pq_index stay bit-identical-tested vs
+    the oracle trainer); its standalone oracle check moved to
+    tests/test_demoted_queries.py."""
     from uk_ner_presidio_demo_spark.operators.similarity import (
         ann_topk_pq_index, build_pq_index,
     )
@@ -606,7 +613,10 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a TRAINED coarse quantizer: deterministic distributed
     k-means (int64-quantized Lloyd sums, bit-identical to the oracle
-    trainer) replaces the seeded-centroid stand-in."""
+    trainer) replaces the seeded-centroid stand-in.  Demoted r5 (board
+    slot went to ann_ivfpq_query_path, VERDICT r4 #5); keeps its exact
+    golden-parquet oracle in tests/test_demoted_queries.py, and the
+    trainer itself stays board-verified through both IVF-PQ rows."""
     from uk_ner_presidio_demo_spark.operators.similarity import (
         ann_topk_ivf_kmeans,
     )
@@ -1223,7 +1233,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     into mm_media_plan (third 'feat' leg) freeing the slot for
     kg_incremental_canon — the delta-canonicalization operator, fully
     SQL-oracled via DuckDB sha256 == Spark sha2 parity.  Every r3
-    off-board operator now holds a driver row."""
+    off-board operator now holds a driver row.
+    r5 rotation (VERDICT r4 #5): ann_ivf_kmeans_topk demoted (exact
+    golden mirror kept in tests/test_demoted_queries.py; its trainer
+    lineage stays board-verified inside both IVF-PQ rows) freeing the
+    slot for ann_ivfpq_query_path — the deployment-shaped pure query
+    path over the materialized codes table, oracled against the same
+    golden as ann_ivfpq_topk (defined output-equal)."""
     return {
         "kg_mentions": _q_mentions,
         "kg_anonymized": _q_anonymized,
@@ -1250,7 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_partial_overlap": _q_doc_partial_overlap,
         "doc_hash_sample": _q_doc_hash_sample,
         "ann_exact_lsh_topk": _q_ann_exact_lsh_topk,
-        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
+        "ann_ivfpq_query_path": _q_ann_ivfpq_query_path,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "emb_neardup": _q_emb_neardup,
         "txt_text_profile": _q_txt_text_profile,
@@ -1491,9 +1507,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'lsh', query_id, neighbor_id, rank, sim_r6
             FROM read_parquet('{dg}/golden_ann_lsh_topk.parquet')
         """,
-        "ann_ivf_kmeans_topk": f"""
+        "ann_ivfpq_query_path": f"""
             SELECT query_id, neighbor_id, rank, sim_r6
-            FROM read_parquet('{dg}/golden_ann_ivf_kmeans_topk.parquet')
+            FROM read_parquet('{dg}/golden_ann_ivfpq_topk.parquet')
         """,
         "ann_ivfpq_topk": f"""
             SELECT query_id, neighbor_id, rank, sim_r6

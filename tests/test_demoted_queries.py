@@ -211,3 +211,20 @@ def test_triple_counts_matches_golden_aggregate(spark, sf01):
         f"FROM read_parquet('{gt}') GROUP BY pred"
     ).fetchdf()
     assert not compare_frames(got, want)
+
+
+def test_ann_ivf_kmeans_matches_golden(spark, sf01):
+    """ann_ivf_kmeans_topk (demoted r5; board slot went to the
+    deployment-shaped ann_ivfpq_query_path) keeps its exact
+    golden-parquet oracle: trained-kmeans IVF top-k vs the single-process
+    twin golden."""
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+        ensure_docs_golden,
+    )
+
+    dg = ensure_docs_golden(sf01)
+    got = em._q_ann_ivf_kmeans_topk(spark, sf01).toPandas()
+    want = __import__("pandas").read_parquet(
+        f"{dg}/golden_ann_ivf_kmeans_topk.parquet"
+    )
+    assert not compare_frames(got, want)

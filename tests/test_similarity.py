@@ -71,7 +71,9 @@ def test_ann_pq_matches_single_process_twin(spark, sf01):
     import pandas as pd
 
     from uk_ner_presidio_demo_spark.operators.similarity import ann_topk_pq
-    from uk_ner_presidio_demo_spark.semantics.docsim import ANN_K
+    from uk_ner_presidio_demo_spark.semantics.docsim import (
+        ANN_K, ANN_Q, ANN_Q_MOD,
+    )
     from uk_ner_presidio_demo_spark.semantics.pq import (
         PQ_TRAIN_SAMPLE, pq_adc_cosine, pq_encode, pq_train,
     )
@@ -84,7 +86,7 @@ def test_ann_pq_matches_single_process_twin(spark, sf01):
     cids = np.array(vids)
     books = pq_train(mat[:PQ_TRAIN_SAMPLE])
     codes = pq_encode(mat, books)
-    qids = [v for v in vids if v % 25 == 0]
+    qids = [v for v in vids if v % ANN_Q_MOD == 0][:ANN_Q]
     qmat = np.array([by[q] for q in qids], dtype=np.float64)
     sims = pq_adc_cosine(qmat, codes, books)
     want = set()
@@ -139,7 +141,7 @@ def test_ann_ivfpq_matches_single_process_twin(spark, sf01):
         ann_topk_ivfpq, kmeans_centroids_distributed,
     )
     from uk_ner_presidio_demo_spark.semantics.docsim import (
-        ANN_K, IVF_NPROBE, ivf_cell, ivf_probe_cells,
+        ANN_K, ANN_Q, ANN_Q_MOD, IVF_NPROBE, ivf_cell, ivf_probe_cells,
     )
     from uk_ner_presidio_demo_spark.semantics.pq import (
         PQ_TRAIN_SAMPLE, pq_adc_cosine, pq_encode, pq_train,
@@ -155,7 +157,7 @@ def test_ann_ivfpq_matches_single_process_twin(spark, sf01):
     cells = np.array([ivf_cell(by[v], centroids=cent) for v in vids])
     books = pq_train(mat[:PQ_TRAIN_SAMPLE])
     codes = pq_encode(mat, books)
-    qids = [v for v in vids if v % 25 == 0]
+    qids = [v for v in vids if v % ANN_Q_MOD == 0][:ANN_Q]
     qmat = np.array([by[q] for q in qids], dtype=np.float64)
     sims = pq_adc_cosine(qmat, codes, books)
     want = set()
@@ -237,3 +239,28 @@ class TestPqCodesIndex:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "embedding" not in plan  # scans only vec_id/cell/codes
         assert sorted(index["codes"].columns) == ["cell", "codes", "vec_id"]
+
+
+def test_query_set_is_corpus_size_independent(spark):
+    """The r4 scale-killer fix (VERDICT r4 #1): the collected ANN query
+    set is the FIRST ANN_Q modulo matches, so growing the corpus 4x
+    changes NEITHER the query count NOR the query ids — the driver
+    collect is O(ANN_Q), never O(corpus)."""
+    import numpy as np
+
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        _collect_queries,
+    )
+    from uk_ner_presidio_demo_spark.semantics.docsim import ANN_Q, EMB_DIM
+
+    def synth_emb(n):
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(x) for x in rng.standard_normal(EMB_DIM)])
+                for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    qids_small, qmat_small = _collect_queries(synth_emb(1000))
+    qids_big, qmat_big = _collect_queries(synth_emb(4000))
+    assert len(qids_small) == len(qids_big) == ANN_Q
+    assert qids_small == qids_big  # corpus growth appends ids; set is stable
+    assert np.array_equal(qmat_small, qmat_big)

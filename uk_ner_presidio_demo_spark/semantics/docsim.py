@@ -36,6 +36,14 @@ DOC_JACCARD_THRESHOLD = 0.8
 SIMHASH_MAX_HAMMING = 8
 EMB_NEARDUP_COS = 0.45
 ANN_K = 10
+# ANN query-set BOUND (VERDICT r4 #1): the benchmark query set is the
+# FIRST ANN_Q vec_ids matching vec_id % ANN_Q_MOD == 0, ascending.  The
+# modulo spreads queries across the id space; the limit makes the driver
+# collect O(ANN_Q), independent of corpus size — at 100x the corpus the
+# query set is the SAME 32 vectors, not 4% of the table.  Queries are
+# inputs in a real deployment; this is the bounded stand-in.
+ANN_Q = 32
+ANN_Q_MOD = 25
 RP_K = 4           # random hyperplanes (2^4 buckets; more planes on real
                    # clustered embeddings — near-random test vectors need
                    # coarse buckets for non-empty candidate sets)
