@@ -299,3 +299,21 @@ def test_verified_partial_overlap_confirms_span(spark):
     assert (1, 2) in got and got[(1, 2)] >= 150
     assert not verified_partial_overlaps(
         docs, min_span_tokens=got[(1, 2)] + 1).collect()
+
+
+def test_metrics_n_docs_counts_empty_docs(spark):
+    """ADVICE r4: the fraction-derived ubiquity cap must use the INPUT
+    doc count (the oracle's len(texts)), not docs-with-chunks — a corpus
+    containing empty/whitespace-only documents previously produced a
+    different denominator engine-vs-oracle."""
+    from uk_ner_presidio_demo_spark.operators.chunking import (
+        partial_overlap_with_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "слово " * 50), (1, ""), (2, "   "), (3, "інше " * 50)],
+        "doc_id long, text string",
+    )
+    _, metrics = partial_overlap_with_metrics(docs)
+    m = {r["metric"]: r["value"] for r in metrics.collect()}
+    assert m["n_docs"] == 4  # not 2 (only docs 0 and 3 emit chunks)

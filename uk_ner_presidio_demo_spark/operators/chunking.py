@@ -90,7 +90,7 @@ def partial_overlap_with_metrics(
     truncation, VERDICT r3 #7).
 
     min_shared=2 suppresses single-chunk coincidences; the ubiquity cap
-    defaults to ceil(max_chunk_df_frac * n_docs) (floored at
+    defaults to floor(max_chunk_df_frac * n_docs) (floored at
     MIN_CHUNK_DF_CAP) and drops corpus-ubiquitous chunks BEFORE the
     self-join, bounding fan-out at web scale."""
     ch = (
@@ -98,7 +98,11 @@ def partial_overlap_with_metrics(
         .localCheckpoint(eager=True)  # kernel once; every branch reuses
     )
     df_counts = ch.groupBy("chunk_hash").count().localCheckpoint(eager=True)
-    n_docs = ch.select("doc_id").distinct().count()
+    # n_docs counts the INPUT frame, not docs-with-chunks (ADVICE r4):
+    # the oracle derives the fraction cap from len(texts), so a corpus
+    # with empty/whitespace-only documents must use the same denominator
+    # or the caps silently diverge engine-vs-oracle.
+    n_docs = docs.select("doc_id").distinct().count()
     cap = _resolve_chunk_cap(n_docs, max_chunk_df, max_chunk_df_frac)
     rare = df_counts.filter(F.col("count") <= cap).select("chunk_hash")
     metrics = df_counts.agg(
@@ -234,19 +238,39 @@ def partial_overlap_dedup_apply(docs: DataFrame,
     return dedup_apply(docs, pairs)
 
 
+# Per-batch SAM cache bound (VERDICT r4 #3 / ADVICE r4): candidates
+# arrive SORTED by doc_a (sortWithinPartitions in
+# verified_partial_overlaps), so a tiny LRU gets one build per distinct
+# left doc per batch; the cap bounds worst-case batch memory — a batch
+# of distinct 100k-char left docs holds at most this many automatons
+# (~10x text size each) instead of all of them (the r3 doc_simhash_dups
+# working-set incident class).
+_LCS_SAM_CACHE_MAX = 4
+
+
 @pandas_udf(T.IntegerType())
-def _lcs_tokens_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _lcs_tokens_udf(doc_a: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
     # Linear-time exact verify (VERDICT r3 #1: the quadratic DP was
     # minutes per pair at the 100k-char cap).  The suffix automaton of
-    # the left text is memoized within the Arrow batch: a boilerplate
-    # doc pairing with thousands of candidates builds it once.  The DP
-    # twin (longest_common_token_span) remains the pytest oracle.
-    sams: dict[str, TokenSuffixAutomaton] = {}
+    # the left text is memoized across the Arrow batch in an LRU keyed
+    # by doc_a id (not the 100k-char text — no per-row string hashing);
+    # with doc_a-sorted input the build amortizes to once per left doc
+    # per batch.  The DP twin (longest_common_token_span) remains the
+    # pytest oracle.
+    from collections import OrderedDict
+
+    sams: "OrderedDict[int, TokenSuffixAutomaton]" = OrderedDict()
     out = []
-    for x, y in zip(a, b):
-        sam = sams.get(x)
+    for da, x, y in zip(doc_a, a, b):
+        da = int(da)
+        sam = sams.get(da)
         if sam is None:
-            sam = sams[x] = TokenSuffixAutomaton(x.lower().split())
+            sam = TokenSuffixAutomaton(x.lower().split())
+            sams[da] = sam
+            if len(sams) > _LCS_SAM_CACHE_MAX:
+                sams.popitem(last=False)
+        else:
+            sams.move_to_end(da)
         out.append(longest_common_token_run(x, y, sam=sam))
     return pd.Series(out)
 
@@ -266,7 +290,14 @@ def verified_partial_overlaps(docs: DataFrame,
     blocking finds, verification proves, exactly like bands -> Jaccard.
     The verify is O(|a|+|b|) per pair (suffix automaton, built once per
     left doc per batch), so even max-length (100k-char) candidate pairs
-    cost milliseconds, not minutes."""
+    cost milliseconds, not minutes.
+
+    Join order is deliberate (VERDICT r4 #3): text_b joins FIRST so the
+    final shuffle join keys on doc_a, leaving rows hash-partitioned by
+    doc_a at zero extra cost; sortWithinPartitions("doc_a") (local sort,
+    no shuffle — and a no-op after a doc_a sort-merge join) then makes
+    same-left-doc candidates contiguous, so the verify kernel's LRU
+    builds each suffix automaton once per task instead of by luck."""
     cand = partial_overlap_pairs(docs, min_shared=min_shared,
                                  max_chunk_df=max_chunk_df)
     ta = docs.select(F.col("doc_id").alias("doc_a"),
@@ -274,9 +305,10 @@ def verified_partial_overlaps(docs: DataFrame,
     tb = docs.select(F.col("doc_id").alias("doc_b"),
                      F.col("text").alias("text_b"))
     return (
-        cand.join(ta, "doc_a").join(tb, "doc_b")
+        cand.join(tb, "doc_b").join(ta, "doc_a")
+        .sortWithinPartitions("doc_a")
         .withColumn("common_span_tokens",
-                    _lcs_tokens_udf("text_a", "text_b"))
+                    _lcs_tokens_udf("doc_a", "text_a", "text_b"))
         .filter(F.col("common_span_tokens") >= min_span_tokens)
         .select("doc_a", "doc_b", "shared_chunks",
                 F.col("common_span_tokens").cast("long")
