@@ -43,18 +43,36 @@ _TMP_ROOT: str | None = None
 
 
 def _tmpdir(prefix: str) -> str:
-    """Scratch dir for sink/stream/pipeline queries, rooted under one
-    per-process directory that each NEW process wipes before first use —
-    repeated driver/bench invocations no longer accumulate run dirs in
-    /tmp (ADVICE r3), while dirs stay readable for the lifetime of the
-    session that created them (query results are lazy)."""
+    """Scratch dir for sink/stream/pipeline queries.  The root is
+    PER-PROCESS (pid-suffixed, ADVICE r4: a flat shared root meant a
+    concurrently-starting process wiped another's live streaming
+    checkpoints); on first use this process reaps only sibling roots
+    whose owning pid is dead, so repeated driver/bench invocations don't
+    accumulate run dirs in /tmp (ADVICE r3) while two live processes
+    never touch each other's dirs."""
     global _TMP_ROOT
     import shutil
     import tempfile
 
     if _TMP_ROOT is None:
-        root = os.path.join(tempfile.gettempdir(), "spark_graft_runs")
-        shutil.rmtree(root, ignore_errors=True)
+        base = os.path.join(tempfile.gettempdir(), "spark_graft_runs")
+        os.makedirs(base, exist_ok=True)
+        for name in os.listdir(base):
+            if not name.startswith("pid"):
+                continue
+            try:
+                pid = int(name[3:])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe only
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid — leave it
+        root = os.path.join(base, f"pid{os.getpid()}")
         os.makedirs(root, exist_ok=True)
         _TMP_ROOT = root
     return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)

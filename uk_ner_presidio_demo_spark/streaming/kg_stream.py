@@ -134,7 +134,34 @@ def streaming_triples(transcripts_stream: DataFrame,
     emit) and its state is dropped.  This is the never-quiescing-conv
     escape hatch (VERDICT r3 #6); window-advance finalization stays the
     primary, deterministic path."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn = make_triples_state_fn(window=window, strategy=strategy,
+                               ttl_ms=ttl_ms)
+    return (
+        transcripts_stream.select("conv_id", "turn_idx", "text", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=STREAM_TRIPLES_SCHEMA,
+            stateStructType=_KG_STATE,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def make_triples_state_fn(window: int = WINDOW_W,
+                          strategy: str = "priority",
+                          ttl_ms: int | None = None):
+    """The per-conversation state-transition function behind
+    `streaming_triples`, exposed at module level so the TTL/tombstone
+    transitions are unit-testable against a fake GroupState
+    (tests/test_streaming_triples.py TestTombstoneTransitions) —
+    streaming-engine timing can't race a direct call."""
 
     def _finalize(conv_id: str, st: dict, buf: dict,
                   finalize_to: int) -> list[tuple]:
@@ -164,7 +191,7 @@ def streaming_triples(transcripts_stream: DataFrame,
             del buf[t]
         return rows
 
-    def fn(key, pdfs, state: GroupState):
+    def fn(key, pdfs, state):
         conv_id = key[0]
         if state.exists:
             st = json.loads(state.get[0])
@@ -176,9 +203,26 @@ def streaming_triples(transcripts_stream: DataFrame,
 
         if ttl_ms is not None and state.hasTimedOut:
             # conversation went quiet past the TTL with no EOS marker:
-            # treat as ended — flush every pending anchor, drop state
+            # treat as ended — flush every pending anchor.  The state is
+            # NOT removed immediately (ADVICE r4: remove() discarded the
+            # 'final' watermark, so a conv resuming after a TTL flush
+            # re-emitted already-final anchors as duplicates): a
+            # TOMBSTONE keeps 'final' with an empty buffer and re-arms
+            # the timeout, so a straggler turn <= final is late-dropped
+            # exactly like the in-flight case.  Only a SECOND quiet TTL
+            # period removes the tombstone (bounded state) — exactly-once
+            # is guaranteed unless a conv resumes after two full quiet
+            # TTLs, the documented residual window
+            # (tests/test_streaming_triples.py::
+            #  test_streaming_triples_resume_after_ttl_no_duplicates).
+            if st.get("flushed") and not buf:
+                state.remove()
+                return
             rows = _finalize(conv_id, st, buf, max(buf, default=-1))
-            state.remove()
+            st["flushed"] = True
+            st["buf"] = []
+            state.update((json.dumps(st),))
+            state.setTimeoutDuration(ttl_ms)
             if rows:
                 yield pd.DataFrame(
                     rows,
@@ -210,6 +254,7 @@ def streaming_triples(transcripts_stream: DataFrame,
         rows: list[tuple] = []
         if buf:
             rows = _finalize(conv_id, st, buf, max(buf) - window)
+            st["flushed"] = False  # conv resumed: tombstone re-activates
 
         # the late-discard counter lives IN the state blob so watermark
         # discards are observable, not just asserted (ADVICE r3)
@@ -225,17 +270,4 @@ def streaming_triples(transcripts_stream: DataFrame,
                 columns=["conv_id", "turn_idx", "subj", "pred", "obj"],
             )
 
-    return (
-        transcripts_stream.select("conv_id", "turn_idx", "text", "tool")
-        .groupBy("conv_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=STREAM_TRIPLES_SCHEMA,
-            stateStructType=_KG_STATE,
-            outputMode="append",
-            timeoutConf=(
-                GroupStateTimeout.ProcessingTimeTimeout
-                if ttl_ms is not None else GroupStateTimeout.NoTimeout
-            ),
-        )
-    )
+    return fn
