@@ -448,14 +448,19 @@ def _q_kg_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level dedup apply (driver board row, golden-parquet oracle;
-    twin-exact-tested in tests/test_chunking.py on planted spans AND the
-    full corpus; benched for the one-agg/no-self-join scale story)."""
+    """Span-level dedup apply — since r5 the EXACT-boundary operator
+    (VERDICT r4 #6): maximal duplicated runs vs owner docs cut
+    token-exactly via SAM matching statistics (oracle: the quadratic DP
+    twin in docs_golden, property-tested equal), intra-doc repeats at
+    chunk granularity.  The chunk-rounded twin excise_duplicate_chunks
+    keeps its own golden + pytest coverage (tests/test_chunking.py).
+    Bench note: doc_span_excise gained the pair matching-statistics
+    stage in r5 — a by-design per-query work change vs r4."""
     from uk_ner_presidio_demo_spark.operators.chunking import (
-        excise_duplicate_chunks,
+        excise_duplicate_spans,
     )
 
-    return excise_duplicate_chunks(read_tpch(spark, sf_dir, "documents"))
+    return excise_duplicate_spans(read_tpch(spark, sf_dir, "documents"))
 
 
 _PQ_INDEX_CACHE: dict[str, dict] = {}
@@ -1623,7 +1628,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
                    CAST(n_excised_tokens AS INTEGER) AS n_excised_tokens,
                    clean_text
-            FROM read_parquet('{dg}/golden_excised.parquet')
+            FROM read_parquet('{dg}/golden_excised_exact.parquet')
         """,
         "doc_pii_scrub": f"""
             SELECT doc_id, CAST(n_pii AS INTEGER) AS n_pii, scrubbed_text

@@ -317,3 +317,116 @@ def test_metrics_n_docs_counts_empty_docs(spark):
     _, metrics = partial_overlap_with_metrics(docs)
     m = {r["metric"]: r["value"] for r in metrics.collect()}
     assert m["n_docs"] == 4  # not 2 (only docs 0 and 3 emit chunks)
+
+
+class TestMatchingStatsEquivalence:
+    """SAM matching statistics (the exact-excision boundary engine) must
+    equal the quadratic DP twin on every input — the same
+    two-algorithms-one-contract guarantee as TestLcsEquivalence."""
+
+    def test_hypothesis_equality(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            TokenSuffixAutomaton, matching_statistics_dp,
+        )
+
+        token = st.sampled_from(["а", "б", "в", "г", "слово", "Б"])
+        toks = st.lists(token, min_size=0, max_size=40)
+
+        @settings(max_examples=300, deadline=None)
+        @given(toks, toks)
+        def check(doc, query):
+            if doc:
+                sam = TokenSuffixAutomaton(doc)
+                assert sam.matching_statistics(query) == \
+                    matching_statistics_dp(doc, query)
+
+        check()
+
+    def test_maximal_runs_are_maximal(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            matching_statistics_dp, maximal_duplicated_runs,
+        )
+
+        token = st.sampled_from(["а", "б", "в"])
+        toks = st.lists(token, min_size=1, max_size=30)
+
+        def is_factor(needle, hay):
+            n = len(needle)
+            return any(hay[i:i + n] == needle
+                       for i in range(len(hay) - n + 1))
+
+        @settings(max_examples=200, deadline=None)
+        @given(toks, toks, st.integers(min_value=1, max_value=5))
+        def check(doc, query, t):
+            ms = matching_statistics_dp(doc, query)
+            for s, e in maximal_duplicated_runs(ms, t):
+                assert e - s >= t
+                assert is_factor(query[s:e], doc)
+                # maximality: extending either side breaks factor-ness
+                # (or runs off the query)
+                if s > 0:
+                    assert not is_factor(query[s - 1:e], doc)
+                if e < len(query):
+                    assert not is_factor(query[s:e + 1], doc)
+
+        check()
+
+
+class TestExactSpanExcision:
+    """excise_duplicate_spans (r5): token-exact boundaries per Lee et
+    al., vs the chunk-rounded twin and the DP golden."""
+
+    def test_planted_span_is_cut_token_exactly(self, spark):
+        """Doc 2 embeds a 60-token span of doc 1 at NON-chunk-aligned
+        offsets: the exact operator cuts exactly those 60 tokens (the
+        chunk version would miss the partial head/tail chunks)."""
+        from uk_ner_presidio_demo_spark.operators.chunking import (
+            excise_duplicate_chunks, excise_duplicate_spans,
+        )
+
+        rng_tokens = [f"own{i}x{i % 7}" for i in range(200)]
+        span = rng_tokens[37:97]           # 60 tokens, arbitrary offsets
+        prefix = [f"пре{i}" for i in range(25)]
+        suffix = [f"суф{i}" for i in range(25)]
+        docs = spark.createDataFrame(
+            [(1, " ".join(rng_tokens)),
+             (2, " ".join(prefix + span + suffix))],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r
+               for r in excise_duplicate_spans(docs).collect()}
+        assert got[1]["n_excised_tokens"] == 0   # owner keeps everything
+        assert got[2]["n_excised_tokens"] == 60  # exactly the span
+        assert got[2]["clean_text"] == " ".join(prefix + suffix)
+        # the chunk-rounded twin cuts LESS here (partial-edge chunks of
+        # the span hash differently inside doc 2) — the r5 gain, shown
+        chunk = {r["doc_id"]: r
+                 for r in excise_duplicate_chunks(docs).collect()}
+        assert chunk[2]["n_excised_tokens"] < 60
+        assert chunk[2]["n_excised_tokens"] > 0
+
+    def test_matches_dp_golden_on_corpus(self, spark, sf01):
+        from uk_ner_presidio_demo_spark.operators.chunking import (
+            excise_duplicate_spans,
+        )
+        from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+            ensure_docs_golden,
+        )
+
+        dg = ensure_docs_golden(sf01)
+        want = pd.read_parquet(f"{dg}/golden_excised_exact.parquet") \
+            .set_index("doc_id").sort_index()
+        got = excise_duplicate_spans(
+            read_tpch(spark, sf01, "documents")
+        ).toPandas().set_index("doc_id").sort_index()
+        assert len(got) == len(want)
+        assert (got["n_tokens"] == want["n_tokens"]).all()
+        assert (got["n_excised_tokens"] == want["n_excised_tokens"]).all()
+        assert (got["clean_text"] == want["clean_text"]).all()
+        assert got["n_excised_tokens"].sum() > 0  # non-vacuous

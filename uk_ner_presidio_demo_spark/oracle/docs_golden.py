@@ -20,7 +20,8 @@ from ..semantics.docsim import (
 
 # v12: ANN query set bounded to the first ANN_Q modulo matches (r5);
 # identical goldens at sf<=0.01 (20 matches < ANN_Q), smaller at sf0.1.
-DOCS_GOLDEN_VERSION = 12
+# v13: + golden_excised_exact (exact-boundary span excision, r5).
+DOCS_GOLDEN_VERSION = 13
 
 # Driver-row sampling parameters (engine twin: operators/sampling.py via
 # __spark_entry__._q_doc_hash_sample) — fixed so the single-process
@@ -302,6 +303,46 @@ def ensure_docs_golden(sf_dir: str) -> Path:
         excise_rows,
         columns=["doc_id", "n_tokens", "n_excised_tokens", "clean_text"],
     ).to_parquet(out_dir / "golden_excised.parquet", index=False)
+
+    # --- EXACT-boundary span excision (engine twin:
+    # operators/chunking.py excise_duplicate_spans, r5): maximal
+    # duplicated runs >= MIN_SPAN_TOKENS vs each owner doc, boundaries
+    # from the quadratic matching-statistics DP (the engine runs the
+    # SAM twin — property-tested equal), plus intra-doc repeated chunks
+    # at chunk granularity ---
+    from ..semantics.chunking import (
+        matching_statistics_dp, maximal_duplicated_runs,
+    )
+
+    cross_pairs: set[tuple[int, int]] = set()
+    for d in sorted(excise_chunks):
+        for idx, (_, _, h) in enumerate(excise_chunks[d]):
+            od, _ = chunk_owner[h]
+            if od != d:
+                cross_pairs.add((d, od))
+    span_cuts: dict[int, set[int]] = {d: set() for d in texts}
+    for d, o in sorted(cross_pairs):
+        ms = matching_statistics_dp(
+            texts[o].lower().split(), texts[d].lower().split()
+        )
+        for s, e in maximal_duplicated_runs(ms, MIN_SPAN_TOKENS):
+            span_cuts[d].update(range(s, e))
+    for d in sorted(excise_chunks):  # intra-doc repeats: chunk-granular
+        for idx, (s, e, h) in enumerate(excise_chunks[d]):
+            od, oidx = chunk_owner[h]
+            if od == d and idx != oidx:
+                span_cuts[d].update(range(s, e))
+    exact_rows = []
+    for d in sorted(texts):
+        toks = texts[d].split()
+        kept = [tk for i, tk in enumerate(toks) if i not in span_cuts[d]]
+        exact_rows.append(
+            (d, len(toks), len(toks) - len(kept), " ".join(kept))
+        )
+    pd.DataFrame(
+        exact_rows,
+        columns=["doc_id", "n_tokens", "n_excised_tokens", "clean_text"],
+    ).to_parquet(out_dir / "golden_excised_exact.parquet", index=False)
 
     # --- corpus PII scrub (engine twin: operators/scrub.py — the
     # reference's detect+anonymize semantics over the documents table) ---

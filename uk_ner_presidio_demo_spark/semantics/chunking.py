@@ -143,10 +143,21 @@ class TokenSuffixAutomaton:
     def longest_match(self, tokens: list[str]) -> int:
         """Longest contiguous run of `tokens` that is a factor of the
         indexed document — O(|tokens|) amortized."""
+        ms = self.matching_statistics(tokens)
+        return max(ms, default=0)
+
+    def matching_statistics(self, tokens: list[str]) -> list[int]:
+        """ms[j] = length of the longest suffix of tokens[:j+1] that is
+        a factor of the indexed document (textbook SAM matching
+        statistics — the same scan as longest-common-substring, keeping
+        the per-position run instead of only the max).  O(|tokens|)
+        amortized.  The quadratic oracle twin is
+        `matching_statistics_dp`; TestMatchingStatsEquivalence in
+        tests/test_chunking.py property-tests them equal."""
         nxt, link, length = self.next, self.link, self.length
         v = 0
         run = 0
-        best = 0
+        ms = []
         for tok in tokens:
             while v != 0 and tok not in nxt[v]:
                 v = link[v]
@@ -154,9 +165,50 @@ class TokenSuffixAutomaton:
             if tok in nxt[v]:
                 v = nxt[v][tok]
                 run += 1
-                if run > best:
-                    best = run
-        return best
+            else:
+                run = 0
+            ms.append(run)
+        return ms
+
+
+def matching_statistics_dp(doc_tokens: list[str],
+                           query_tokens: list[str]) -> list[int]:
+    """Quadratic ORACLE twin of TokenSuffixAutomaton.matching_statistics:
+    ms[j] = longest common suffix of query_tokens[:j+1] and ANY prefix of
+    doc_tokens — i.e. the longest factor of `doc_tokens` ending at j in
+    `query_tokens` (classic longest-common-suffix DP, column max).  Used
+    by the golden oracle so engine (SAM) and oracle (DP) agree through
+    genuinely different algorithms."""
+    n = len(doc_tokens)
+    prev = [0] * (n + 1)
+    ms = []
+    for y in query_tokens:
+        cur = [0] * (n + 1)
+        best = 0
+        for i, x in enumerate(doc_tokens, 1):
+            if x == y:
+                cur[i] = prev[i - 1] + 1
+                if cur[i] > best:
+                    best = cur[i]
+        ms.append(best)
+        prev = cur
+    return ms
+
+
+def maximal_duplicated_runs(ms: list[int],
+                            min_tokens: int) -> list[tuple[int, int]]:
+    """Maximal token intervals [start, end) whose content is a factor of
+    the indexed document, length >= min_tokens, from matching statistics.
+    The interval ending at j is [j+1-ms[j], j+1); it is maximal iff the
+    next position does not extend it (ms[j+1] < ms[j]+1).  Shared by the
+    Spark excision kernel and the golden oracle — the exact-boundary
+    contract of Lee et al.-style substring excision."""
+    runs = []
+    n = len(ms)
+    for j in range(n):
+        if ms[j] >= min_tokens and (j + 1 == n or ms[j + 1] < ms[j] + 1):
+            runs.append((j + 1 - ms[j], j + 1))
+    return runs
 
 
 def longest_common_token_run(a: str, b: str,
