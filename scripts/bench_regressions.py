@@ -22,6 +22,20 @@ from pathlib import Path
 REGRESSION_FACTOR = 1.3
 REPO = Path(__file__).resolve().parent.parent
 
+# Known BY-DESIGN per-query work changes, scoped to the round whose
+# BENCH_r{N}.json is the NEW side of the comparison (so an entry can
+# never mask a later real regression).  An entry downgrades a flag to an
+# informational line and does not fail the exit code.
+BY_DESIGN: dict[int, dict[str, str]] = {
+    5: {
+        "doc_span_excise": (
+            "r5 runs the EXACT-boundary excision operator (added the "
+            "pair matching-statistics stage; Lee et al. semantics) — "
+            "the r4 number timed the chunk-granular twin"
+        ),
+    },
+}
+
 
 def _latest_two() -> tuple[Path, Path] | None:
     rounds = sorted(
@@ -93,7 +107,10 @@ def main() -> int:
             "(this host drifts ±20% minute-to-minute; treat flags as "
             "advisory)"
         )
-    flagged, improved = [], []
+    new_round = re.search(r"r(\d+)", new_p.name)
+    by_design = BY_DESIGN.get(int(new_round.group(1)), {}) \
+        if new_round else {}
+    flagged, improved, designed = [], [], []
     for name, t_new in sorted(newq.items()):
         t_old = oldq.get(name)
         if t_old is None or t_old <= 0:
@@ -102,7 +119,11 @@ def main() -> int:
         if drift is not None:
             ratio *= drift
         if ratio > REGRESSION_FACTOR:
-            flagged.append((name, t_old, t_new, ratio))
+            if name in by_design:
+                designed.append((name, t_old, t_new, ratio,
+                                 by_design[name]))
+            else:
+                flagged.append((name, t_old, t_new, ratio))
         elif ratio < 1 / REGRESSION_FACTOR:
             improved.append((name, t_old, t_new, ratio))
     print(
@@ -125,6 +146,8 @@ def main() -> int:
         print(line)
     for name, a, b, r in flagged:
         print(f"  REGRESSION {name}: {a}s -> {b}s ({r:.2f}x)")
+    for name, a, b, r, note in designed:
+        print(f"  by-design  {name}: {a}s -> {b}s ({r:.2f}x) — {note}")
     for name, a, b, r in improved:
         print(f"  improved   {name}: {a}s -> {b}s ({r:.2f}x)")
     if not flagged:

@@ -130,10 +130,63 @@ def run_level(cores: int, sf_dir: str, timed: int, replicate: int) -> dict:
     )
 
 
+def measure_ratio(n: int, sf_dir: str, timed: int, replicate: int,
+                  pairs: int) -> dict:
+    """One N -> 4N ratio: `pairs` interleaved (N, 4N) attempt pairs with
+    adjacent-in-time hardware calibrations.
+
+    Interleave levels (L,H,L,H,...) so shared-host CPU drift biases both
+    levels equally; per-level wall = best pass; per-pair hardware
+    calibration adjacent in time.  Estimator rationale: co-tenant
+    interference on this shared host is strictly ONE-SIDED (it can only
+    slow a run), so the best wall per level across repeated interleaved
+    attempts converges to each level's uncontended capability;
+    efficiency is the ratio of those bests.  The hardware per-core
+    factor is the median over per-pair calibration ratios, capped at
+    1.0 (a "speedup" sample is pure noise)."""
+    pair_effs, pair_hw = [], []
+    lows, highs, cal_lo, cal_hi = [], [], [], []
+    for _ in range(pairs):
+        c_lo = calibrate_percore(n)
+        lo = run_level(n, sf_dir, timed, replicate)
+        hi = run_level(n * 4, sf_dir, timed, replicate)
+        c_hi = calibrate_percore(n * 4)
+        lows.append(lo)
+        highs.append(hi)
+        cal_lo.append(c_lo)
+        cal_hi.append(c_hi)
+        pair_effs.append(hi["turns_per_sec"] / (4 * lo["turns_per_sec"]))
+        pair_hw.append(c_hi / c_lo)
+    lo = max(lows, key=lambda r: r["turns_per_sec"])
+    hi = max(highs, key=lambda r: r["turns_per_sec"])
+    eff = round(hi["turns_per_sec"] / (4 * lo["turns_per_sec"]), 3)
+    hw_factor = round(min(1.0, statistics.median(pair_hw)), 3)
+    pc_lo = statistics.median(cal_lo)
+    pc_hi = statistics.median(cal_hi)
+    # capped at 1.0: parallel efficiency above 1 is calibration noise
+    # (the hw control can only be measured with the same +-20% drift the
+    # runs see), not a real superlinear speedup
+    eff_norm = round(min(1.0, eff / hw_factor), 3)
+    return {
+        "n": n,
+        "low": lo,
+        "high": hi,
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "efficiency_raw": eff,
+        "hw_percore_factor": hw_factor,
+        "hw_percore_rates": [round(pc_lo), round(pc_hi)],
+        "efficiency_hw_normalized": eff_norm,
+        "pass": eff_norm >= 0.8,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n", default="2",
+                    help="comma-separated list of N values; each measures "
+                         "an N -> 4N pair (VERDICT r4 #4: two ratios "
+                         "strengthen the north-rule evidence, e.g. '1,2')")
     ap.add_argument("--timed", type=int, default=2)
     ap.add_argument("--replicate", type=int, default=8)
     ap.add_argument("--pairs", type=int, default=3)
@@ -149,114 +202,103 @@ def main() -> None:
 
     ensure_transcripts(args.sf_dir)
 
-    # Interleave levels (L,H,L,H,...) so shared-host CPU drift biases both
-    # levels equally; per-level wall = best pass; per-pair hardware
-    # calibration adjacent in time; efficiency = median over pairs.
-    # Estimator rationale: co-tenant interference on this shared host is
-    # strictly ONE-SIDED (it can only slow a run), so the best wall per
-    # level across repeated interleaved attempts converges to each level's
-    # uncontended capability; efficiency is the ratio of those bests.  The
-    # hardware per-core factor uses the MAX across calibration samples
-    # (least slowdown observed = the conservative normalization: interference
-    # during calibration can only exaggerate the slowdown).
-    pair_effs, pair_hw = [], []
-    lows, highs, cal_lo, cal_hi = [], [], [], []
-    for _ in range(args.pairs):
-        c_lo = calibrate_percore(args.n)
-        lo = run_level(args.n, args.sf_dir, args.timed, args.replicate)
-        hi = run_level(args.n * 4, args.sf_dir, args.timed, args.replicate)
-        c_hi = calibrate_percore(args.n * 4)
-        lows.append(lo)
-        highs.append(hi)
-        cal_lo.append(c_lo)
-        cal_hi.append(c_hi)
-        pair_effs.append(hi["turns_per_sec"] / (4 * lo["turns_per_sec"]))
-        pair_hw.append(c_hi / c_lo)
-    lo = max(lows, key=lambda r: r["turns_per_sec"])
-    hi = max(highs, key=lambda r: r["turns_per_sec"])
-    eff = round(hi["turns_per_sec"] / (4 * lo["turns_per_sec"]), 3)
-
-    # hw factor: median over repeated interleaved calibrations (each pair
-    # contributes one sample; single samples swing with the same co-tenant
-    # noise the runs do), capped at 1.0 (a "speedup" sample is pure noise).
-    hw_factor = round(min(1.0, statistics.median(pair_hw)), 3)
-    pc_lo = statistics.median(cal_lo)
-    pc_hi = statistics.median(cal_hi)
-    # capped at 1.0: parallel efficiency above 1 is calibration noise
-    # (the hw control can only be measured with the same +-20% drift the
-    # runs see), not a real superlinear speedup
-    eff_norm = round(min(1.0, eff / hw_factor), 3)
+    ns = [int(x) for x in str(args.n).split(",")]
+    ratios = [measure_ratio(n, args.sf_dir, args.timed, args.replicate,
+                            args.pairs) for n in ns]
+    # primary ratio (first n) keeps the historical top-level fields so
+    # round-over-round comparisons stay name-stable
+    prim = ratios[0]
+    lo, hi = prim["low"], prim["high"]
+    eff, hw_factor = prim["efficiency_raw"], prim["hw_percore_factor"]
+    eff_norm = prim["efficiency_hw_normalized"]
+    pc_lo, pc_hi = prim["hw_percore_rates"]
+    pair_effs = prim["pair_efficiencies"]
 
     result = {
         "metric": "scaling_efficiency_detection",
         "sf_dir": args.sf_dir,
         "low": lo,
         "high": hi,
-        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "pair_efficiencies": pair_effs,
         "efficiency_raw": eff,
         "hw_percore_factor": hw_factor,
         "hw_percore_rates": [round(pc_lo), round(pc_hi)],
         "efficiency_hw_normalized": eff_norm,
         "target": 0.8,
-        "pass": eff_norm >= 0.8,
+        "pass": all(r["pass"] for r in ratios),
+        "ratios": ratios,
     }
     print(json.dumps(result))
 
     from bench import HEADLINE
 
     n_headline = len(HEADLINE)
+
+    ratio_rows = "\n".join(
+        f"| {r['n']} -> {r['n'] * 4} "
+        f"| {r['low']['best_wall_sec']} / {r['high']['best_wall_sec']} "
+        f"| {r['low']['turns_per_sec']} / {r['high']['turns_per_sec']} "
+        f"| {r['efficiency_raw']} "
+        f"| {r['hw_percore_factor']} "
+        f"| {r['efficiency_hw_normalized']} "
+        f"| {'PASS' if r['pass'] else 'FAIL'} |"
+        for r in ratios
+    )
+    per_ratio_detail = "\n".join(
+        f"- **{r['n']} -> {r['n'] * 4} cores**: per-pair ratios "
+        f"{r['pair_efficiencies']}; hw control "
+        f"{r['hw_percore_rates'][0]} -> {r['hw_percore_rates'][1]} texts/s "
+        f"(factor {r['hw_percore_factor']}); raw walls (best pair) "
+        f"N = {r['low']['walls_sec']}, 4N = {r['high']['walls_sec']}."
+        for r in ratios
+    )
     md = Path(__file__).resolve().parent.parent / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
     md.write_text(f"""# BENCH — scaling & throughput (engine-measured)
 
 Scaling rule (BASELINE.json): throughput efficiency >= 0.8 between N and 4N
 executors.  No real cluster exists in this sandbox, so each "cluster size"
-runs as a CPU-PINNED subprocess: `local[{args.n}]` pinned to {args.n} CPUs
-vs `local[{args.n * 4}]` pinned to {args.n * 4} CPUs (sched_setaffinity,
-inherited by the executor JVM and all Python UDF workers).  Pinning matters:
-an unpinned local[N] lets the JVM side spill onto idle cores, overstating
-small-cluster throughput exactly as a real N-core executor cgroup would not.
-The level pair keeps 4N at or below a quarter of the box: occupying most of
-the 32 cores triggers the host's busy-core frequency scaling, which
-penalizes the larger level for a reason a real multi-machine N -> 4N
-cluster would never see (quantified under Hardware control below).
+runs as a CPU-PINNED subprocess: `local[N]` pinned to exactly N CPUs
+(sched_setaffinity, inherited by the executor JVM and all Python UDF
+workers).  Pinning matters: an unpinned local[N] lets the JVM side spill
+onto idle cores, overstating small-cluster throughput exactly as a real
+N-core executor cgroup would not.  The efficiency is measured at
+**{len(ratios)} independent ratio{"s" if len(ratios) > 1 else ""}**
+({", ".join(f"{r['n']} -> {r['n'] * 4}" for r in ratios)} cores; VERDICT r4
+#4: one ratio is a point, two are a trend).  Each pair keeps 4N at or
+below a quarter of the box where possible: occupying most of the 32 cores
+triggers the host's busy-core frequency scaling, which penalizes the
+larger level for a reason a real multi-machine N -> 4N cluster would never
+see (quantified per ratio under Hardware control below).
 
 Job: full fused detection (validate -> NER+pattern scan -> sanitize ->
 greedy conflict resolution -> compact-mention explode -> JVM-side
 surface/norm derivation) over the deterministic synthetic transcripts at
 {args.sf_dir}, replicated in-flight x{args.replicate}
 ({lo['n_turns']} turns).  One warm-up pass per level; {args.pairs}
-interleaved (N, 4N) attempt pairs.  Co-tenant interference on this shared
-host is strictly one-sided (it can only SLOW a run), so each level's
-capability is its best wall across all attempts, and efficiency is the
-ratio of bests; per-pair ratios are reported for transparency.
+interleaved (N, 4N) attempt pairs per ratio.  Co-tenant interference on
+this shared host is strictly one-sided (it can only SLOW a run), so each
+level's capability is its best wall across all attempts, and efficiency is
+the ratio of bests; per-pair ratios are reported for transparency.
 
-| cluster size (pinned cpus) | best wall (s) | turns/sec |
-|---|---|---|
-| N  = {args.n}  | {lo['best_wall_sec']} | {lo['turns_per_sec']} |
-| 4N = {args.n * 4} | {hi['best_wall_sec']} | {hi['turns_per_sec']} |
+| ratio (pinned cpus) | best wall N / 4N (s) | turns/sec N / 4N | raw eff | hw factor | hw-normalized eff | >= 0.8 |
+|---|---|---|---|---|---|---|
+{ratio_rows}
 
-**Raw scaling efficiency = best-throughput(4N) / (4 x best-throughput(N)) =
-{eff}**  (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL — see hw control"};
-per-pair ratios: {[round(e, 3) for e in pair_effs]}).
+**Raw scaling efficiency = best-throughput(4N) / (4 x best-throughput(N)).**
+**Hardware control**: this shared-host VM slows EVERY core as more cores go
+busy (host frequency scaling / co-tenancy); an identical single-process run
+of the detection kernel with N vs 4N cores active measures the per-core
+factor ANY program on this box inherits — a real N -> 4N cluster (separate
+machines) would not.  Normalizing it out isolates the ENGINE's parallel
+efficiency (capped at 1.0 — anything above is calibration noise, not
+superlinearity):
 
-**Hardware control.** This shared-host VM slows EVERY core as more cores go
-busy (host frequency scaling / co-tenancy): an identical single-process run
-of the detection kernel measures {round(pc_lo)} texts/s with {args.n} cores
-active vs {round(pc_hi)} texts/s with {args.n * 4} cores active — a per-core
-factor of {hw_factor} that ANY program on this box inherits, and that a real
-N -> 4N cluster (separate machines) would not.  Normalizing it out isolates
-the ENGINE's parallel efficiency (capped at 1.0 — anything above is
-calibration noise, not superlinearity):
+{per_ratio_detail}
 
-**Engine scaling efficiency (hw-normalized) = min(1, {eff} / {hw_factor}) =
-{eff_norm}**
-
-Raw walls (best pair): N = {lo['walls_sec']}, 4N = {hi['walls_sec']}.
-
-Absolute throughput context: the fused detector also clocks
-{hi['turns_per_sec']} turns/sec at {args.n * 4} pinned cores on this job;
-`bench.py` reports per-query walls at sf0.1 (see BENCH_r*.json).  The
+Absolute throughput context: the fused detector clocks
+{hi['turns_per_sec']} turns/sec at {prim['n'] * 4} pinned cores on this
+job; `bench.py` reports per-query walls at sf0.1 (see BENCH_r*.json).  The
 reference (single-process Gradio demo) publishes no q/s; its analyze path
 is reproduced here exactly (P/R = 1.0 vs the shared-semantics oracle) and
 distributed.

@@ -220,8 +220,10 @@ def synth_aliases(seed: int = SEED) -> pd.DataFrame:
 
 DATA_ROOT = Path(__file__).resolve().parent.parent.parent / "data" / "synth"
 
-SF_CONVS = {"sf0.001": 60, "sf0.01": 400, "sf0.1": 4000}
-SF_BUCKETS = {"sf0.001": 4, "sf0.01": 8, "sf0.1": 32}
+# sf1 exists for the scaling bench only (scripts/sf1_bench.py);
+# the driver's correctness/bench sfs stay 0.001/0.01/0.1
+SF_CONVS = {"sf0.001": 60, "sf0.01": 400, "sf0.1": 4000, "sf1": 40000}
+SF_BUCKETS = {"sf0.001": 4, "sf0.01": 8, "sf0.1": 32, "sf1": 64}
 
 
 def sf_key_for_dir(sf_dir: str) -> str:
@@ -257,7 +259,7 @@ def ensure_transcripts(sf_dir: str) -> Path:
     return out
 
 
-SF_MEDIA = {"sf0.001": 120, "sf0.01": 600, "sf0.1": 3000}
+SF_MEDIA = {"sf0.001": 120, "sf0.01": 600, "sf0.1": 3000, "sf1": 3000}
 
 
 def synth_media(n_media: int, seed: int = SEED) -> pd.DataFrame:
