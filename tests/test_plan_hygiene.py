@@ -229,3 +229,15 @@ def test_canonical_triples_runs_detection_once(spark, sf01):
     plan = _plan(em.queries()["kg_canonical_triples"](spark, sf01))
     assert plan.count("MapInPandas") == 0
     assert plan.count("FlatMapCoGroupsInPandas") == 1  # the triples cogroup
+
+
+def test_span_excision_plan_hygiene(spark, sf01):
+    """Exact-boundary excision (r5): the chunk kernel is cut behind its
+    localCheckpoint, leaving exactly TWO Python stages in the final plan
+    (the matching-statistics span kernel + the text rebuild kernel); no
+    row-at-a-time Python and no cartesian product anywhere — the pair
+    list is ownership-blocked, never all-pairs."""
+    plan = _plan(em.queries()["doc_span_excise"](spark, sf01))
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
