@@ -39,7 +39,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 REPLICAS = 10
 QUERIES = ["kg_triples", "kg_canonical_nodes", "doc_contamination",
            "doc_partial_overlap", "ann_ivfpq_topk"]
-_SF1_VERSION = 1
+_SF1_VERSION = 2
 
 
 def ensure_sf1_inputs() -> Path:
@@ -79,8 +79,10 @@ def ensure_sf1_inputs() -> Path:
         rep = emb.copy()
         rep["vec_id"] = rep["vec_id"] + k * n_vec
         if k > 0:
+            # keep float32 elements: the sf0.1 parquet stores
+            # list<float>, and a mixed-type directory fails the scan
             rep["embedding"] = rep["embedding"].map(
-                lambda v: np.roll(np.asarray(v), k).tolist()
+                lambda v: np.roll(np.asarray(v, dtype=np.float32), k)
             )
         rep.to_parquet(emb_dir / f"part-{k:03d}.parquet", index=False)
 
