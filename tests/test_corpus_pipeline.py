@@ -1,5 +1,5 @@
 """Corpus-prep pipeline: staged run/resume over the document operators
-(profile -> clean -> split -> decontaminate -> pack), with stage outputs
+(profile -> clean -> split -> decontaminate -> excise -> scrub -> pack), with stage outputs
 cross-checked against direct operator invocations and the sampling twin."""
 
 import pandas as pd
@@ -16,8 +16,8 @@ from uk_ner_presidio_demo_spark.semantics.sparkhash import (
     pmod, xxhash64_long,
 )
 
-STAGES = ["profile", "clean", "split", "decontaminate", "scrub", "pack",
-          "pack_stats"]
+STAGES = ["profile", "clean", "split", "decontaminate", "excise",
+          "scrub", "pack", "pack_stats"]
 
 
 @pytest.fixture(scope="module")
@@ -49,8 +49,10 @@ def test_stage_rows_consistent(first_run, sf01):
     assert 0 < rows["clean"] < n_docs          # filters bite, not kill
     assert rows["split"] == rows["clean"]      # split covers cleaned set
     assert rows["decontaminate"] <= rows["split"]
-    assert rows["scrub"] == rows["decontaminate"]  # scrub is 1:1
-    assert rows["pack"] == rows["scrub"]           # every kept doc packed
+    assert rows["excise"] == rows["decontaminate"]  # excise is 1:1 (docs
+    # survive; duplicated spans inside them are cut)
+    assert rows["scrub"] == rows["excise"]          # scrub is 1:1
+    assert rows["pack"] == rows["scrub"]            # every kept doc packed
 
 
 def test_split_matches_sampling_twin(first_run):

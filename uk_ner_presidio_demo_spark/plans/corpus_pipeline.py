@@ -8,6 +8,10 @@ into the flow a real 100-TB data-prep run executes:
       -> split            (deterministic hash train/eval split)
       -> decontaminate    (drop train docs leaking into the eval slice,
                            exact + MinHash-near levels)
+      -> excise           (substring dedup APPLY, r5: maximal duplicated
+                           runs vs owner docs cut token-exactly — Lee et
+                           al.; runs over the RAW text the chunker
+                           fingerprints, before scrub rewrites it)
       -> scrub            (PII removal — detect + [TYPE] splice, the
                            reference's analyzer over the corpus; runs
                            BEFORE packing because replacements change
@@ -36,6 +40,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.chunking import excise_duplicate_spans
 from ..operators.contamination import decontaminate
 from ..operators.dedup import clean_corpus
 from ..operators.packing import pack_documents, pack_stats
@@ -96,12 +101,26 @@ class CorpusPipeline(StagedPipeline):
             lambda: decontaminate(train, eval_docs),
         )
 
+        # substring dedup APPLY: duplicated boilerplate spans are cut
+        # token-exactly before scrub/pack — both excision and scrubbing
+        # change token counts, so both precede packing; excision runs
+        # first so span boundaries come from the raw text the chunk
+        # fingerprints were computed over, not scrub-rewritten text
+        fp_excise = fp_split + "|decon|excise"
+        excised = self._stage(
+            "excise", fp_excise,
+            lambda: excise_duplicate_spans(decon).select(
+                "doc_id", "n_excised_tokens",
+                F.col("clean_text").alias("text"),
+            ),
+        )
+
         # PII scrub BEFORE packing: replacements change token counts, so
         # packs must be built over the text that actually ships
-        fp_scrub = fp_split + "|decon|scrub"
+        fp_scrub = fp_excise + "|scrub"
         scrubbed = self._stage(
             "scrub", fp_scrub,
-            lambda: scrub_documents(decon).select(
+            lambda: scrub_documents(excised).select(
                 "doc_id", "n_pii",
                 F.col("scrubbed_text").alias("text"),
             ),
@@ -125,6 +144,7 @@ class CorpusPipeline(StagedPipeline):
             "clean": cleaned_ids,
             "split": split,
             "train_clean": decon,
+            "excised": excised,
             "scrubbed": scrubbed,
             "packs": packs,
             "pack_stats": stats,
