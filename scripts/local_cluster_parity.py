@@ -2,7 +2,10 @@
 (kg_mentions -> kg_canonical_nodes -> kg_canonical_triples) and one ANN
 query (ann_ivfpq_topk — the k-means/PQ matrices ride in kernel closures)
 on a REAL multi-process master, local-cluster[2,4,2048], and assert the
-results are row-identical to plain local mode.
+results are row-identical to plain local mode.  Since r5 the list also
+includes stream_triples — a REAL Structured Streaming availableNow run
+whose GroupState lives in per-executor state stores, proving the
+stateful streaming operator survives the multi-JVM topology too.
 
 Why this matters: everything else in the repo runs under local[N], where
 broadcasts and UDF closures never cross a process boundary — so
@@ -35,8 +38,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.001"
+# stream_triples exercises applyInPandasWithState cross-JVM: GroupState
+# lives in per-executor state stores, the EOS-marker availableNow run
+# must still converge to the exact batch triples in BOTH topologies
 QUERIES = ["kg_mentions", "kg_canonical_nodes", "kg_canonical_triples",
-           "ann_ivfpq_topk"]
+           "ann_ivfpq_topk", "stream_triples"]
 
 
 def _fingerprint(df) -> tuple[int, str]:

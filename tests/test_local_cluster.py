@@ -1,4 +1,5 @@
-"""Cross-JVM parity (VERDICT r4 #2): the KG chain and an ANN query run
+"""Cross-JVM parity (VERDICT r4 #2): the KG chain, an ANN query, and
+the stateful streaming-triples run
 under local-cluster[2,4,2048] — two REAL executor JVMs with their own
 Python workers, package shipped via the spark-submit --py-files
 equivalent — must be row-identical to plain local mode.
@@ -28,5 +29,5 @@ def test_local_cluster_matches_local_mode():
     assert all(n > 0 for n in report["counts"].values())
     assert set(report["counts"]) == {
         "kg_mentions", "kg_canonical_nodes", "kg_canonical_triples",
-        "ann_ivfpq_topk",
+        "ann_ivfpq_topk", "stream_triples",
     }
