@@ -264,3 +264,43 @@ def test_query_set_is_corpus_size_independent(spark):
     assert len(qids_small) == len(qids_big) == ANN_Q
     assert qids_small == qids_big  # corpus growth appends ids; set is stable
     assert np.array_equal(qmat_small, qmat_big)
+
+
+def test_emb_dedup_apply_keeps_min_per_cluster(spark, sf01):
+    """emb_dedup_apply (r5): union-find over the LSH-blocked near-dup
+    golden pairs must give exactly the kept vec_id set (min per cluster,
+    singletons survive) — the vector-side mirror of doc dedup apply."""
+    import pandas as pd
+
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        emb_dedup_apply,
+    )
+
+    pairs = pd.read_parquet(
+        ensure_docs_golden(sf01) / "golden_emb_neardup.parquet"
+    )
+    all_ids = set(
+        int(v) for v in
+        pd.read_parquet(f"{sf01}/embeddings.parquet")["vec_id"]
+    )
+    parent = {v: v for v in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, list[int]] = {}
+    for v in all_ids:
+        clusters.setdefault(find(v), []).append(v)
+    want = {min(m) for m in clusters.values()}
+
+    got = {r["vec_id"]
+           for r in emb_dedup_apply(_read_emb(spark, sf01)).collect()}
+    assert got == want
+    assert len(got) < len(all_ids)  # non-vacuous: planted dups collapsed

@@ -587,3 +587,41 @@ def emb_neardup(emb: DataFrame, threshold: float = EMB_NEARDUP_COS) -> DataFrame
         "vec_a long, vec_b long, cos double",
     )
     return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos_r6"))
+
+
+def emb_dedup_apply(emb: DataFrame,
+                    threshold: float = EMB_NEARDUP_COS) -> DataFrame:
+    """Embedding-level dedup APPLICATION: LSH-blocked near-dup pairs ->
+    connected components -> keep the minimum vec_id per cluster
+    (singletons keep themselves).  The vector-side twin of
+    operators.dedup.dedup_apply — same pairs->CC->keep-min shape, same
+    CC operator, only pair DISCOVERY differs (hyperplane-LSH blocking +
+    exact-cosine verify instead of MinHash bands + Jaccard).  Returns
+    the deduplicated (vec_id, embedding) table.
+
+    Scale shape: candidate generation is the blocked self-join (never
+    all-pairs); CC iterates only over vectors touching a dup pair
+    (singleton bypass); the keep is a left-semi join."""
+    from ..operators.canonicalize import connected_components
+
+    pairs = emb_neardup_lsh(emb, threshold).select("vec_a", "vec_b")
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    nodes = emb.select(
+        F.lit("vec").alias("entity_type"),
+        pad(F.col("vec_id")).alias("norm_surface"),
+    )
+    edges = pairs.select(
+        F.lit("vec").alias("entity_type"),
+        pad(F.col("vec_a")).alias("src"),
+        pad(F.col("vec_b")).alias("dst"),
+    )
+    cc = connected_components(nodes, edges)
+    keepers = cc.filter(
+        F.col("label")
+        == F.concat_ws(":", F.col("entity_type"), F.col("norm_surface"))
+    ).select(F.col("norm_surface").alias("pad_id"))
+    return emb.join(
+        keepers,
+        pad(F.col("vec_id")) == F.col("pad_id"),
+        "left_semi",
+    ).select("vec_id", "embedding")
