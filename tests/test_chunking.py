@@ -430,3 +430,54 @@ class TestExactSpanExcision:
         assert (got["n_excised_tokens"] == want["n_excised_tokens"]).all()
         assert (got["clean_text"] == want["clean_text"]).all()
         assert got["n_excised_tokens"].sum() > 0  # non-vacuous
+
+
+class TestExciseOwnerCap:
+    """EXCISE_MAX_OWNERS bounds the per-doc pair fan-out: a doc whose
+    lost chunks have many distinct owners compares only against the
+    strongest `max_owners` (most shared lost chunks, ties by owner id)."""
+
+    def _docs(self, spark):
+        # owners 1..3 each contribute a distinct 60-token block; doc 10
+        # embeds all three blocks (every chunk lost to a different owner)
+        # with block A repeated twice -> owner 1 is the strongest
+        blocks = {
+            o: " ".join(f"блок{o}т{i}х{i % 7}" for i in range(60))
+            for o in (1, 2, 3)
+        }
+        text10 = " ".join([blocks[1], blocks[2], blocks[3], blocks[1]])
+        rows = [(o, blocks[o]) for o in (1, 2, 3)] + [(10, text10)]
+        return spark.createDataFrame(rows, "doc_id long, text string"), blocks
+
+    def test_cap_keeps_strongest_owner(self, spark):
+        from uk_ner_presidio_demo_spark.operators.chunking import (
+            cross_owner_spans,
+        )
+
+        docs, blocks = self._docs(spark)
+        full = cross_owner_spans(docs).toPandas()
+        capped = cross_owner_spans(docs, max_owners=1).toPandas()
+        # uncapped: spans vs all three owners; capped: only owner 1's
+        # block survives as a cut source (doc 10 loses block-1 spans ONLY)
+        n_b1 = len(blocks[1].split())
+        assert full[full["doc_id"] == 10]["span_end"].count() >= 3
+        got = capped[capped["doc_id"] == 10]
+        assert len(got) >= 1
+        # every capped span lies inside one of the two block-1 regions
+        regions = [(0, n_b1), (3 * n_b1, 4 * n_b1)]
+        for _, r in got.iterrows():
+            assert any(r["span_start"] >= s and r["span_end"] <= e
+                       for s, e in regions), (r["span_start"], r["span_end"])
+
+    def test_capped_subset_of_uncapped(self, spark):
+        from uk_ner_presidio_demo_spark.operators.chunking import (
+            cross_owner_spans,
+        )
+
+        docs, _ = self._docs(spark)
+        full = {tuple(r) for r in
+                cross_owner_spans(docs).toPandas().itertuples(index=False)}
+        capped = {tuple(r) for r in
+                  cross_owner_spans(docs, max_owners=2)
+                  .toPandas().itertuples(index=False)}
+        assert capped <= full

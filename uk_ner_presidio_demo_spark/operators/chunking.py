@@ -22,8 +22,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 from ..semantics.chunking import (
+    EXCISE_MAX_OWNERS,
     MAX_CHUNK_DF_FRAC,
     MIN_CHUNK_DF_CAP,
     MIN_SHARED_CHUNKS,
@@ -237,6 +239,7 @@ SPANS_SCHEMA = T.StructType(
 
 def cross_owner_spans(docs: DataFrame,
                       min_span_tokens: int = MIN_SPAN_TOKENS,
+                      max_owners: int = EXCISE_MAX_OWNERS,
                       _ch: DataFrame | None = None) -> DataFrame:
     """(doc_id, span_start, span_end): MAXIMAL duplicated token runs
     >= min_span_tokens that doc shares with an OWNER doc — a doc holding
@@ -250,22 +253,34 @@ def cross_owner_spans(docs: DataFrame,
 
     Scale shape: ownership is the same single min-struct hash agg; the
     pair list is distinct (doc, owner) — one row per sharing relation,
-    NOT per chunk; texts join in with the final join keyed on `owner` +
-    sortWithinPartitions so the per-owner suffix automaton builds once
-    per task (the verified_partial_overlaps LRU pattern).  Recall is
-    bounded by the blocking (a run whose every chunk is owned by docs
-    not containing the full run can be missed) — the bands->verify
-    trade every blocked path here makes."""
+    NOT per chunk — and each doc compares against at most `max_owners`
+    owners, strongest first (most shared lost chunks, ties by owner id;
+    EXCISE_MAX_OWNERS bounds the pathological every-chunk-different-
+    owner corpus at O(max_owners * |doc|) per doc); texts join in with
+    the final join keyed on `owner` + sortWithinPartitions so the
+    per-owner suffix automaton builds once per task (the
+    verified_partial_overlaps LRU pattern).  Recall is bounded by the
+    blocking (a run whose every chunk is owned by docs not containing
+    the full run can be missed) — the bands->verify trade every blocked
+    path here makes."""
     ch = _ch if _ch is not None else doc_chunks(docs) \
         .localCheckpoint(eager=True)
     first = ch.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("first")
     )
-    cross = (
+    ranked = (
         ch.join(first, "chunk_hash")
         .filter(F.col("doc_id") != F.col("first.doc_id"))
-        .select("doc_id", F.col("first.doc_id").alias("owner"))
-        .distinct()
+        .groupBy("doc_id", F.col("first.doc_id").alias("owner"))
+        .agg(F.countDistinct("chunk_hash").alias("n_lost"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_lost"), F.asc("owner")
+    )
+    cross = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_owners)
+        .select("doc_id", "owner")
     )
     td = docs.select("doc_id", "text")
     to = docs.select(F.col("doc_id").alias("owner"),

@@ -21,7 +21,10 @@ from ..semantics.docsim import (
 # v12: ANN query set bounded to the first ANN_Q modulo matches (r5);
 # identical goldens at sf<=0.01 (20 matches < ANN_Q), smaller at sf0.1.
 # v13: + golden_excised_exact (exact-boundary span excision, r5).
-DOCS_GOLDEN_VERSION = 13
+# v14: excision pair fan-out bounded at EXCISE_MAX_OWNERS owners/doc
+# (no output change at driver sfs — no doc approaches the cap — but the
+# cached goldens must come from the code that includes the rule).
+DOCS_GOLDEN_VERSION = 14
 
 # Driver-row sampling parameters (engine twin: operators/sampling.py via
 # __spark_entry__._q_doc_hash_sample) — fixed so the single-process
@@ -311,15 +314,23 @@ def ensure_docs_golden(sf_dir: str) -> Path:
     # SAM twin — property-tested equal), plus intra-doc repeated chunks
     # at chunk granularity ---
     from ..semantics.chunking import (
-        matching_statistics_dp, maximal_duplicated_runs,
+        EXCISE_MAX_OWNERS, matching_statistics_dp, maximal_duplicated_runs,
     )
 
-    cross_pairs: set[tuple[int, int]] = set()
+    # per-(doc, owner) distinct lost-chunk counts; each doc keeps at most
+    # EXCISE_MAX_OWNERS owners, strongest first (ties by owner id) — the
+    # engine's fan-out bound, mirrored exactly
+    lost: dict[int, dict[int, set[str]]] = {}
     for d in sorted(excise_chunks):
         for idx, (_, _, h) in enumerate(excise_chunks[d]):
             od, _ = chunk_owner[h]
             if od != d:
-                cross_pairs.add((d, od))
+                lost.setdefault(d, {}).setdefault(od, set()).add(h)
+    cross_pairs: set[tuple[int, int]] = set()
+    for d, owners in lost.items():
+        ranked = sorted(owners, key=lambda o: (-len(owners[o]), o))
+        for o in ranked[:EXCISE_MAX_OWNERS]:
+            cross_pairs.add((d, o))
     span_cuts: dict[int, set[int]] = {d: set() for d in texts}
     for d, o in sorted(cross_pairs):
         ms = matching_statistics_dp(

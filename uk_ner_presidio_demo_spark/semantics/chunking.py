@@ -34,6 +34,14 @@ MAX_CHUNK_DF_FRAC = 0.02
 MIN_CHUNK_DF_CAP = 20
 MIN_SHARED_CHUNKS = 2      # candidate threshold: >=2 shared rare chunks
 MIN_SPAN_TOKENS = 20       # verify threshold: exact common run length
+# Exact-excision pair fan-out bound: a doc's duplicated chunks are
+# compared against at most this many owner docs, strongest owners first
+# (most shared lost chunks, ties by owner id).  Bounds the per-doc
+# matching-statistics work at O(EXCISE_MAX_OWNERS * |doc|) even in the
+# pathological corpus where every chunk of a doc is owned by a different
+# doc (which would otherwise cost O(|doc|^2 / chunk) per doc).  Part of
+# the DOCS golden contract (golden_excised_exact).
+EXCISE_MAX_OWNERS = 64
 BOUNDARY_BITS = 4          # boundary prob 1/16 per eligible position
 _BOUNDARY_MASK = (1 << BOUNDARY_BITS) - 1
 MIN_CHUNK = 8              # tokens; resync lower bound
