@@ -304,3 +304,51 @@ def test_emb_dedup_apply_keeps_min_per_cluster(spark, sf01):
            for r in emb_dedup_apply(_read_emb(spark, sf01)).collect()}
     assert got == want
     assert len(got) < len(all_ids)  # non-vacuous: planted dups collapsed
+
+
+class TestPqIndexAppend:
+    """Incremental index maintenance (r5): frozen-trainer append."""
+
+    def _split(self, spark, sf01):
+        from uk_ner_presidio_demo_spark.operators.similarity import (
+            build_pq_index,
+        )
+
+        emb = _read_emb(spark, sf01)
+        n = emb.count()
+        cut = int(n * 0.8)  # head 80% holds the full train sample
+        from pyspark.sql import functions as F
+        old = emb.filter(F.col("vec_id") < cut)
+        new = emb.filter(F.col("vec_id") >= cut)
+        return emb, old, new, build_pq_index(old)
+
+    def test_appended_codes_equal_full_encode_under_frozen_trainers(
+            self, spark, sf01):
+        from uk_ner_presidio_demo_spark.operators.similarity import (
+            pq_encode_table, pq_index_append,
+        )
+
+        emb, old, new, index = self._split(spark, sf01)
+        appended = pq_index_append(index, new)
+        got = {r["vec_id"]: (r["cell"], bytes(r["codes"]))
+               for r in appended["codes"].collect()}
+        want = {r["vec_id"]: (r["cell"], bytes(r["codes"]))
+                for r in pq_encode_table(
+                    emb, index["books"], centroids=index["centroids"]
+                ).collect()}
+        assert got == want and len(got) == emb.count()
+
+    def test_query_path_sees_appended_vectors(self, spark, sf01):
+        from uk_ner_presidio_demo_spark.operators.similarity import (
+            ann_topk_pq_index, pq_index_append,
+        )
+
+        emb, old, new, index = self._split(spark, sf01)
+        before = ann_topk_pq_index(index).toPandas()
+        after = ann_topk_pq_index(pq_index_append(index, new)).toPandas()
+        new_ids = {int(r["vec_id"]) for r in new.select("vec_id").collect()}
+        assert not (set(before["neighbor_id"]) & new_ids)
+        assert set(after["neighbor_id"]) & new_ids  # new vectors retrievable
+        # old index untouched (immutability): re-query matches `before`
+        again = ann_topk_pq_index(index).toPandas()
+        assert before.equals(again)

@@ -625,3 +625,24 @@ def emb_dedup_apply(emb: DataFrame,
         pad(F.col("vec_id")) == F.col("pad_id"),
         "left_semi",
     ).select("vec_id", "embedding")
+
+
+def pq_index_append(index: dict, new_emb: DataFrame) -> dict:
+    """INCREMENTAL index maintenance — the operation a production ANN
+    deployment runs when new embeddings arrive: encode ONLY the new
+    vectors with the index's FROZEN trainers (coarse centroids + PQ
+    codebooks stay fixed — retraining would silently re-code the whole
+    corpus) and union the codes tables.  Returns a new index dict; the
+    old one stays valid (codes frames are immutable checkpoints).
+
+    Scale shape: cost is O(|new|) encode work + a metadata union — the
+    standing corpus is never rescanned; at 100 TB with daily arrivals
+    this is the difference between an hourly append and a full rebuild.
+    Equivalence (twin-tested): append(build(old), new) produces exactly
+    the codes of encoding old ∪ new under the same frozen trainers, and
+    the query path over the appended index returns new vectors in
+    results."""
+    new_codes = pq_encode_table(
+        new_emb, index["books"], centroids=index["centroids"]
+    ).localCheckpoint(eager=True)
+    return {**index, "codes": index["codes"].unionByName(new_codes)}
