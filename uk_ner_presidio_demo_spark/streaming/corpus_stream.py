@@ -59,3 +59,16 @@ def streaming_contamination_alerts(docs_stream: DataFrame,
     return stream_bands.join(
         F.broadcast(eval_bands), ["band", "bhash"]
     ).select("doc_id", "eval_doc_id")
+
+
+def streaming_scrub(docs_stream: DataFrame,
+                    strategy: str = "priority") -> DataFrame:
+    """PII scrub AT INGEST: the stateless scrub kernel (detect + splice,
+    one mapInPandas, zero shuffles — operators/scrub.py) lifts unchanged
+    onto the document stream, completing the streaming corpus hygiene
+    trio: decontaminate (exact gate) -> scrub -> downstream batch
+    near-dedup/pack.  Output is byte-identical to the batch operator on
+    the same rows (tested), because the kernel is per-row pure."""
+    from ..operators.scrub import scrub_documents
+
+    return scrub_documents(docs_stream, strategy=strategy)
