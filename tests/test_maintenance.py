@@ -1,0 +1,81 @@
+"""Small-file compaction (sources/maintenance.py): row-exact, partition
+layout preserved, file count collapses, failure leaves the source
+untouched."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from uk_ner_presidio_demo_spark.sources.maintenance import (
+    compact_partitioned_table,
+)
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """A deliberately fragmented partitioned table: 16 shuffle partitions
+    x 3 Hive partitions => ~48 small files."""
+    path = str(tmp_path / "edges")
+    df = spark.range(3000).select(
+        F.col("id").alias("edge_id"),
+        (F.col("id") % 3).cast("string").alias("pred"),
+        (F.col("id") * 7).alias("weight"),
+    )
+    df.repartition(16).write.partitionBy("pred").parquet(path)
+    return path
+
+
+def test_compaction_is_row_exact_and_collapses_files(spark, fragmented):
+    before = spark.read.parquet(fragmented).toPandas() \
+        .sort_values("edge_id").reset_index(drop=True)
+    stats = compact_partitioned_table(spark, fragmented, ["pred"])
+    after = spark.read.parquet(fragmented).toPandas() \
+        .sort_values("edge_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        before[sorted(before.columns)], after[sorted(after.columns)]
+    )
+    assert stats["rows"] == 3000
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 3  # one file per pred partition
+    # Hive partition dirs preserved
+    import os
+    dirs = {d for d in os.listdir(fragmented) if d.startswith("pred=")}
+    assert dirs == {"pred=0", "pred=1", "pred=2"}
+
+
+def test_max_records_per_file_splits_large_partitions(spark, fragmented):
+    stats = compact_partitioned_table(
+        spark, fragmented, ["pred"], max_records_per_file=300
+    )
+    # 1000 rows per pred / 300 per file -> >=4 files per partition
+    assert stats["files_after"] >= 12
+    assert spark.read.parquet(fragmented).count() == 3000
+
+
+def test_failed_compaction_leaves_source(spark, tmp_path, fragmented,
+                                         monkeypatch):
+    """A verification failure must leave the original table readable and
+    byte-identical (no swap happened)."""
+    import uk_ner_presidio_demo_spark.sources.maintenance as m
+
+    before_files = sorted(p.name for p in m._data_files(__import__(
+        "pathlib").Path(fragmented)))
+
+    real_read = spark.read.parquet
+
+    class FakeReader:
+        def parquet(self, p):
+            df = real_read(p)
+            if p.endswith(".compact_tmp"):
+                return df.limit(10)  # simulate a torn rewrite
+            return df
+
+    monkeypatch.setattr(type(spark), "read",
+                        property(lambda self: FakeReader()))
+    with pytest.raises(RuntimeError, match="row mismatch"):
+        compact_partitioned_table(spark, fragmented, ["pred"])
+    monkeypatch.undo()
+    after_files = sorted(p.name for p in m._data_files(__import__(
+        "pathlib").Path(fragmented)))
+    assert after_files == before_files
+    assert spark.read.parquet(fragmented).count() == 3000
