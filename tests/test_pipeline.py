@@ -93,3 +93,27 @@ def test_materialized_partition_layout(run_dirs, first_run):
     assert {"pred=uses_tool", "pred=mentions_person"} <= preds
     etypes = {p.name for p in Path(out, "nodes").glob("entity_type=*")}
     assert "entity_type=PERS" in etypes
+
+
+def test_compaction_on_materialized_edges(spark, run_dirs, first_run):
+    """Maintenance integration: compacting the pipeline's REAL edges
+    table (partitioned by pred) is row-exact and preserves the partition
+    layout the scans prune on."""
+    from pathlib import Path
+
+    from uk_ner_presidio_demo_spark.sources.maintenance import (
+        compact_partitioned_table,
+    )
+
+    _, out = run_dirs
+    path = f"{out}/edges"
+    keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    before = spark.read.parquet(path).toPandas()[keys] \
+        .sort_values(keys).reset_index(drop=True)
+    preds_before = {p.name for p in Path(path).glob("pred=*")}
+    stats = compact_partitioned_table(spark, path, ["pred"])
+    after = spark.read.parquet(path).toPandas()[keys] \
+        .sort_values(keys).reset_index(drop=True)
+    assert before.equals(after)
+    assert stats["files_after"] <= stats["files_before"]
+    assert {p.name for p in Path(path).glob("pred=*")} == preds_before
