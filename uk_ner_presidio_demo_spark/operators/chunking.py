@@ -240,7 +240,8 @@ SPANS_SCHEMA = T.StructType(
 def cross_owner_spans(docs: DataFrame,
                       min_span_tokens: int = MIN_SPAN_TOKENS,
                       max_owners: int = EXCISE_MAX_OWNERS,
-                      _ch: DataFrame | None = None) -> DataFrame:
+                      _ch: DataFrame | None = None,
+                      _first: DataFrame | None = None) -> DataFrame:
     """(doc_id, span_start, span_end): MAXIMAL duplicated token runs
     >= min_span_tokens that doc shares with an OWNER doc — a doc holding
     the global-first occurrence of a chunk this doc repeats.  Candidate
@@ -265,7 +266,7 @@ def cross_owner_spans(docs: DataFrame,
     path here makes."""
     ch = _ch if _ch is not None else doc_chunks(docs) \
         .localCheckpoint(eager=True)
-    first = ch.groupBy("chunk_hash").agg(
+    first = _first if _first is not None else ch.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("first")
     )
     ranked = (
@@ -331,13 +332,14 @@ def excise_duplicate_spans(docs: DataFrame,
     land exactly at the duplicated substring's edges, including the
     partial-chunk head/tail the chunk version misses."""
     ch = doc_chunks(docs).localCheckpoint(eager=True)
-    spans = cross_owner_spans(docs, min_span_tokens, _ch=ch).select(
+    first = ch.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    ).localCheckpoint(eager=True)  # ownership agg once; both consumers
+    spans = cross_owner_spans(docs, min_span_tokens, _ch=ch,
+                              _first=first).select(
         "doc_id",
         F.col("span_start").alias("start_tok"),
         F.col("span_end").alias("end_tok"),
-    )
-    first = ch.groupBy("chunk_hash").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
     )
     intra = ch.join(first, "chunk_hash").filter(
         (F.col("doc_id") == F.col("first.doc_id"))
