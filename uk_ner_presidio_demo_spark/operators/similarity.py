@@ -368,29 +368,25 @@ def kmeans_centroids_distributed(emb: DataFrame) -> "np.ndarray":
                     )
                 yield pd.DataFrame(rows, columns=["cell", "cnt", "sums"])
 
-        # materialized once: both the dim-sum agg and the count agg below
-        # consume it — without the cut the assignment kernel would run
-        # twice per iteration
-        part = emb.select("embedding").mapInPandas(
+        # ONE job per iteration (r5: the former separate count agg was a
+        # second scheduling round-trip per Lloyd pass): the per-partition
+        # cnt rides along every exploded dim row, and for any fixed dim
+        # sum(cnt) over partitions IS the cell's total count — so one
+        # (cell, dim) aggregate yields both the dim sums and the counts.
+        exploded = emb.select("embedding").mapInPandas(
             kern, "cell int, cnt long, sums array<long>"
-        ).localCheckpoint(eager=True)
-        exploded = part.select(
-            "cell", F.posexplode("sums").alias("dim", "s")
-        )
+        ).select("cell", "cnt", F.posexplode("sums").alias("dim", "s"))
         dim_sums = (
             exploded.groupBy("cell", "dim")
-            .agg(F.sum("s").alias("s"))
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
             .collect()
         )
-        counts = {
-            r["cell"]: r["n"]
-            for r in part.groupBy("cell")
-            .agg(F.sum("cnt").alias("n")).collect()
-        }
         new = cent.copy()
         by_cell: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
         for r in dim_sums:
             by_cell.setdefault(r["cell"], {})[r["dim"]] = r["s"]
+            counts[r["cell"]] = r["n"]
         for c, dims in by_cell.items():
             sums = [dims[d] for d in range(cent.shape[1])]
             new[c] = kmeans_centroid_from_sums(sums, int(counts[c]))
