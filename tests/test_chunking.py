@@ -481,3 +481,28 @@ class TestExciseOwnerCap:
                   cross_owner_spans(docs, max_owners=2)
                   .toPandas().itertuples(index=False)}
         assert capped <= full
+
+
+def test_excise_owner_cap_metrics_surface_truncation(spark):
+    """No silent caps: when a doc's owner list exceeds max_owners, the
+    lineage metrics must say so (the VERDICT r3 #7 principle applied to
+    the r5 owner cap)."""
+    from uk_ner_presidio_demo_spark.operators.chunking import (
+        excise_owner_cap_metrics,
+    )
+
+    blocks = {o: " ".join(f"блок{o}т{i}х{i % 7}" for i in range(60))
+              for o in (1, 2, 3)}
+    docs = spark.createDataFrame(
+        [(o, blocks[o]) for o in (1, 2, 3)]
+        + [(10, " ".join(blocks.values()))],
+        "doc_id long, text string",
+    )
+    m = {r["metric"]: r["value"]
+         for r in excise_owner_cap_metrics(docs, max_owners=1).collect()}
+    assert m["n_owner_pairs"] == 3      # doc 10 vs owners 1, 2, 3
+    assert m["n_owner_pairs_dropped"] == 2
+    assert m["n_docs_capped"] == 1
+    m2 = {r["metric"]: r["value"]
+          for r in excise_owner_cap_metrics(docs).collect()}
+    assert m2["n_owner_pairs_dropped"] == 0 and m2["n_docs_capped"] == 0
