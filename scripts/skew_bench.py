@@ -133,7 +133,62 @@ def main() -> None:
         _force(qs["kg_top_surfaces_salted"](spark, sf_dir))
         salted_stages = _new_heavy_stages(spark, before, min_tasks=8, top=1)
 
+        # document-side skew (r5): the MinHash band join's shuffle key is
+        # (band, bhash) — planted near-dup clusters make some band keys
+        # hot; measure the key-level row skew and the join stage's task
+        # walls (AQE skew-join splits oversized partitions at runtime)
+        from uk_ner_presidio_demo_spark.operators.dedup import _band_rows
+        from uk_ner_presidio_demo_spark.sources.tables import read_tpch
+
+        docs = read_tpch(spark, sf_dir, "documents")
+        band_rows = (
+            _band_rows(docs).groupBy("band", "bhash").count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("med"),
+            ).first()
+        )
+        before = set(_completed_stages(spark))
+        _force(qs["doc_neardup_minhash"](spark, sf_dir))
+        neardup_stages = _new_heavy_stages(spark, before, min_tasks=4)
+
+        # PLANTED hot band (the natural corpus's dup clusters are small,
+        # band_key_ratio ~3): 300 near-copies of one doc share all their
+        # band keys -> one shuffle key holds a ~300-row group whose
+        # self-join fans out ~45k candidate pairs.  This is the shape
+        # AQE skew-join + the single-eval Jaccard guard exist for; the
+        # stage quantiles show what the planted key does to task walls.
+        from uk_ner_presidio_demo_spark.operators.dedup import (
+            neardup_minhash,
+        )
+
+        base = docs.orderBy("doc_id").limit(1).collect()[0]
+        hot = spark.createDataFrame(
+            [(1_000_000 + i, base["text"] + f" хвіст{i}")
+             for i in range(300)],
+            "doc_id long, text string",
+        )
+        spiked = docs.select("doc_id", "text").unionByName(hot)
+        spiked_rows = (
+            _band_rows(spiked).groupBy("band", "bhash").count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("med"),
+            ).first()
+        )
+        before = set(_completed_stages(spark))
+        _force(neardup_minhash(spiked))
+        spiked_stages = _new_heavy_stages(spark, before, min_tasks=4)
+
         result["sfs"][key] = {
+            "band_key_rows_max": band_rows["mx"],
+            "band_key_rows_median": band_rows["med"],
+            "band_key_ratio": round(band_rows["mx"] / band_rows["med"], 2),
+            "neardup_stages": neardup_stages,
+            "spiked_band_key_rows_max": spiked_rows["mx"],
+            "spiked_band_key_ratio": round(
+                spiked_rows["mx"] / spiked_rows["med"], 2),
+            "spiked_neardup_stages": spiked_stages,
             "conv_rows_max": conv_rows["mx"],
             "conv_rows_median": conv_rows["med"],
             "triples_bucket_rows_max": brows["mx"],
