@@ -38,7 +38,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 REPLICAS = 10
 QUERIES = ["kg_triples", "kg_canonical_nodes", "doc_contamination",
-           "doc_partial_overlap", "ann_ivfpq_topk"]
+           "doc_partial_overlap", "ann_ivfpq_topk", "doc_span_excise"]
 _SF1_VERSION = 2
 
 
