@@ -73,6 +73,31 @@ def control_probe(n_texts: int = 500) -> float:
     return len(texts) / (time.time() - t0)
 
 
+def control_mem_probe(n_words: int = 1 << 20) -> float:
+    """Memory-bandwidth control leg (VERDICT r5 #1): the CPU texts/s probe
+    is regex/dict-bound and blind to memory-bandwidth co-tenancy — which is
+    what the numpy unpackbits/reduceat kernels (simhash) are hostage to.
+    Fixed workload mirroring simhash64_batch's hot loop (8 MB of uint64 ->
+    64 MB bit matrix -> segment reduceat); returns MB touched per second.
+    Recorded on both sides of the timed loop like the CPU probe so
+    bench_regressions can tell CPU drift from bandwidth drift."""
+    import numpy as np
+
+    hs = (np.arange(n_words, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    idx = np.arange(0, n_words, 32, dtype=np.int64)
+    best = None
+    for _ in range(2):  # rep 1 pays first-touch pages (~30x on this VM)
+        t0 = time.time()
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        acc = np.add.reduceat(bits, idx, axis=0, dtype=np.int64)
+        dt = time.time() - t0
+        touched = hs.nbytes + bits.nbytes + acc.nbytes
+        best = max(best or 0.0, touched / dt / 1e6)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -134,6 +159,7 @@ def main() -> None:
     # hardware control sampled on BOTH sides of the timed loop; the max
     # (fastest observed) is the closest estimate of unloaded host speed
     control_before = control_probe()
+    mem_before = control_mem_probe()
     timings: dict[str, float] = {}
     for name in headline:
         walls = []
@@ -145,6 +171,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     control_after = control_probe()
     control_rate = round(max(control_before, control_after), 1)
+    mem_rate = round(max(mem_before, control_mem_probe()), 1)
 
     # turns/sec over the full detection pass (the BASELINE throughput metric)
     from uk_ner_presidio_demo_spark.sources.tables import read_transcripts
@@ -166,6 +193,10 @@ def main() -> None:
                 # after the loop) — bench_regressions.py divides out the
                 # host-drift ratio between two rounds' control rates
                 "control_texts_per_sec": control_rate,
+                # memory-bandwidth leg (MB/s through an unpackbits/reduceat
+                # kernel shaped like simhash64_batch) — diagnostic only;
+                # normalization still uses the CPU leg
+                "control_mem_mb_per_sec": mem_rate,
                 "queries": timings,
                 "sf": sf_key_for_dir(sf_dir),
                 "cores": cores,

@@ -107,6 +107,17 @@ def main() -> int:
             "(this host drifts ±20% minute-to-minute; treat flags as "
             "advisory)"
         )
+    # bandwidth leg (r6): reported so a CPU-vs-bandwidth drift divergence
+    # is visible (the r5 doc_simhash_dups flag was a bandwidth-side
+    # co-tenancy window the CPU probe under-reported) — diagnostic only,
+    # normalization stays on the CPU leg
+    m_old, m_new = old.get("control_mem_mb_per_sec"), \
+        new.get("control_mem_mb_per_sec")
+    if m_old and m_new:
+        print(
+            f"  bandwidth control: {m_old} -> {m_new} MB/s "
+            f"(ratio {m_new / m_old:.3f}; diagnostic — not normalized out)"
+        )
     new_round = re.search(r"r(\d+)", new_p.name)
     by_design = BY_DESIGN.get(int(new_round.group(1)), {}) \
         if new_round else {}

@@ -212,6 +212,23 @@ def test_jaccard_verify_scores_candidates_once(spark, sf01):
         assert plan.count("ArrowEvalPython") == 1, name
 
 
+def test_signature_kernels_fan_out(spark, sf01):
+    """The MinHash/SimHash signature kernels must not inherit a 1-split
+    input's parallelism (one small parquet file = one partition = a
+    single-core mapInPandas — the r5 doc_simhash_dups bench fragility,
+    SCALE.md §7f): under-partitioned inputs are spread to
+    defaultParallelism; already-wide inputs pass through untouched."""
+    from uk_ner_presidio_demo_spark.operators import dedup
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('w', id, ' x y z') AS text"
+    ).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert dedup._fanout(docs).rdd.getNumPartitions() == target
+    wide = docs.repartition(target + 3)
+    assert dedup._fanout(wide) is wide
+
+
 def test_packing_is_one_shuffle(spark, sf01):
     """Sequence packing: exactly one exchange (the bucket key) feeding one
     grouped-pandas kernel; no per-row Python, no extra shuffles."""
