@@ -524,10 +524,33 @@ def _q_doc_partial_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
+    """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id.
+    Demoted r6 (board slot went to txt_bpe_counts, VERDICT r5 #2); keeps
+    the SAME live md5 SQL oracle in tests/test_demoted_queries.py."""
     from uk_ner_presidio_demo_spark.operators.dedup import exact_dedup
 
     return exact_dedup(read_tpch(spark, sf_dir, "documents"))
+
+
+def _q_txt_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE token accounting, end-to-end (r6 board row, VERDICT r5
+    #2): corpus word counts (one Catalyst scan) -> bounded TakeOrdered
+    vocabulary -> deterministic merge induction -> per-doc trained
+    encoding.  Oracle: the single-process twin chain in
+    oracle/docs_golden.py (golden_bpe_counts.parquet) — a hash match
+    verifies counts, vocabulary ordering, trainer, and encoder at once.
+    Tokenizer frozen as ASCII-\\s ws_tokens on both sides (ADVICE r5 #2)."""
+    from uk_ner_presidio_demo_spark.operators.bpe import (
+        bpe_token_counts, bpe_train,
+    )
+
+    docs = read_tpch(spark, sf_dir, "documents")
+    merges = bpe_train(docs)
+    return bpe_token_counts(docs, merges).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
 
 
 def _q_doc_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,7 +1285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lineage stays board-verified inside both IVF-PQ rows) freeing the
     slot for ann_ivfpq_query_path — the deployment-shaped pure query
     path over the materialized codes table, oracled against the same
-    golden as ann_ivfpq_topk (defined output-equal)."""
+    golden as ann_ivfpq_topk (defined output-equal).
+    r6 rotation (VERDICT r5 #2): doc_exact_dedup demoted (the md5
+    hash-agg is the board's lowest-information row; its live SQL oracle
+    moved verbatim to tests/test_demoted_queries.py) freeing the slot
+    for txt_bpe_counts — the trained-BPE chain end-to-end against the
+    single-process twin golden."""
     return {
         "kg_mentions": _q_mentions,
         "kg_anonymized": _q_anonymized,
@@ -1279,7 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_nodes": _q_canonical_nodes,
         "kg_canonical_triples": _q_canonical_triples,
         "kg_degree_distribution": _q_kg_degree_distribution,
-        "doc_exact_dedup": _q_doc_exact_dedup,
+        "txt_bpe_counts": _q_txt_bpe_counts,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_simhash_dups": _q_doc_simhash_dups,
         "doc_dedup_apply": _q_doc_dedup_apply,
@@ -1501,10 +1529,9 @@ def oracle_sql() -> dict[str, str]:
                    feat_val
             FROM read_parquet('{mg}/golden_media_features.parquet')
         """,
-        "doc_exact_dedup": """
-            SELECT md5(text) AS text_md5, count(*) AS n_copies,
-                   min(doc_id) AS keeper_id
-            FROM documents GROUP BY md5(text)
+        "txt_bpe_counts": f"""
+            SELECT doc_id, n_ws_tokens, n_bpe_tokens
+            FROM read_parquet('{dg}/golden_bpe_counts.parquet')
         """,
         "doc_neardup_minhash": f"""
             SELECT doc_a, doc_b, jaccard_r6

@@ -36,6 +36,7 @@ HEADLINE = [
     "doc_partial_overlap",
     "txt_repetition",
     "txt_freq_profile",
+    "txt_bpe_counts",
     "doc_pii_scrub",
     "doc_span_excise",
     "ann_topk",

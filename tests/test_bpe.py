@@ -9,7 +9,7 @@ from uk_ner_presidio_demo_spark.operators.bpe import (
     bpe_token_counts, bpe_train, word_counts,
 )
 from uk_ner_presidio_demo_spark.semantics.bpe import (
-    encode_text, encode_word, merge_pair, train_bpe_from_counts,
+    encode_text, encode_word, merge_pair, train_bpe_from_counts, ws_tokens,
 )
 
 
@@ -52,10 +52,31 @@ def test_word_counts_matches_pandas(spark, sf01):
     ).toPandas().set_index("word")["count"].sort_index()
     docs = pd.read_parquet(f"{sf01}/documents.parquet")
     want = (
-        pd.Series([w for t in docs["text"] for w in t.split()])
+        pd.Series([w for t in docs["text"] for w in ws_tokens(t)])
         .value_counts().sort_index()
     )
     assert (got == want).all() and len(got) == len(want)
+
+
+def test_tokenizer_parity_on_unicode_whitespace(spark):
+    """The frozen tokenizer (ADVICE r5 #2): Spark's Java split '\\s+' in
+    word_counts and Python ws_tokens in the encode kernel / oracle twin
+    must be the SAME character class — NBSP (\\u00a0), ideographic space
+    (\\u3000), and \\x1c (Python-isspace but not Java-\\s) all stay
+    INSIDE tokens on both sides."""
+    rows = [(0, "a\u00a0b c"), (1, "x\u3000y\tz"),
+            (2, "p\x1cq r\u2029s"), (3, "  lead\ttrail\r\nend  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        word_counts(df).toPandas()
+        .set_index("word")["count"].sort_index()
+    )
+    want = (
+        pd.Series([w for _, t in rows for w in ws_tokens(t)])
+        .value_counts().sort_index()
+    )
+    assert (got == want).all() and len(got) == len(want)
+    assert "a\u00a0b" in got.index and "p\x1cq" in got.index
 
 
 def test_engine_counts_match_single_process_twin(spark, sf01):
@@ -68,7 +89,7 @@ def test_engine_counts_match_single_process_twin(spark, sf01):
     for r in docs.itertuples(index=False):
         enc = encode_text(r.text, merges)
         row = got.loc[r.doc_id]
-        assert row["n_ws_tokens"] == len(r.text.split())
+        assert row["n_ws_tokens"] == len(ws_tokens(r.text))
         assert row["n_bpe_tokens"] == len(enc)
     # compression property: trained merges shorten the stream vs chars
     # but never below the whitespace token count

@@ -153,6 +153,19 @@ def test_demoted_query_still_matches_its_oracle(spark, sf01, qfn, sql):
     assert not run_query_pair(spark, sf01, qfn, sql)
 
 
+def test_exact_dedup_matches_live_sql_oracle(spark, sf01):
+    """doc_exact_dedup (demoted r6; board slot went to txt_bpe_counts)
+    keeps the SAME live md5 SQL oracle it held on the board."""
+    assert not run_query_pair(
+        spark, sf01, em._q_doc_exact_dedup,
+        """
+        SELECT md5(text) AS text_md5, count(*) AS n_copies,
+               min(doc_id) AS keeper_id
+        FROM documents GROUP BY md5(text)
+        """,
+    )
+
+
 def test_filter_project_shape_lives_in_window_topk(spark, sf01):
     """The merged query exposes the filter+substring+scalar projection the
     old tpch_filter_project row verified."""

@@ -30,14 +30,19 @@ from pyspark.sql import types as T
 
 from ..semantics.bpe import (
     BPE_MAX_WORDS, BPE_N_MERGES, encode_text, train_bpe_from_counts,
+    ws_tokens,
 )
+from .partitioning import fanout
 
 
 def word_counts(docs: DataFrame) -> DataFrame:
     """(word, count) over whitespace tokens — one explode + two-phase
-    hash aggregate; the only corpus-scale scan of BPE training."""
+    hash aggregate; the only corpus-scale scan of BPE training.  The
+    Java `\\s+` split here and the Python `ws_tokens` in the encode
+    kernel / oracle twin are the SAME frozen ASCII-whitespace tokenizer
+    (semantics/bpe.py; ADVICE r5 #2 closed)."""
     return (
-        docs.select(
+        fanout(docs.select("text")).select(
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
         )
         .filter(F.col("word") != "")
@@ -86,13 +91,13 @@ def bpe_token_counts(docs: DataFrame,
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 text = text if text is not None else ""
-                toks = text.split()
+                toks = ws_tokens(text)
                 enc = encode_text(text, merges, _cache=cache)
                 rows.append((int(doc_id), len(toks), len(enc)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_ws_tokens", "n_bpe_tokens"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fanout(docs.select("doc_id", "text")).mapInPandas(
         kernel, BPE_COUNTS_SCHEMA
     )

@@ -58,21 +58,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fanout(docs: DataFrame) -> DataFrame:
-    """Spread a signature kernel across cores when the input is
-    under-partitioned.  A small local corpus is often ONE parquet split =
-    ONE partition, so the whole mapInPandas runs on a single core — which
-    both wastes the cluster and makes the query wall hostage to per-core
-    host speed (the r5 doc_simhash_dups 1.42x 'regression' was exactly
-    this: a co-tenancy window landing on a single-core phase that
-    best-of-2 cannot smooth; SCALE.md §7f).  At 100 TB the input already
-    has thousands of splits and this guard is a no-op — the repartition
-    fires only when partitions < defaultParallelism."""
-    sc = docs.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
+from .partitioning import fanout as _fanout
 
 
 def _band_rows(docs: DataFrame) -> DataFrame:

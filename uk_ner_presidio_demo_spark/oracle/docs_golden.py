@@ -24,7 +24,9 @@ from ..semantics.docsim import (
 # v14: excision pair fan-out bounded at EXCISE_MAX_OWNERS owners/doc
 # (no output change at driver sfs — no doc approaches the cap — but the
 # cached goldens must come from the code that includes the rule).
-DOCS_GOLDEN_VERSION = 14
+# v15: + golden_bpe_counts (trained-BPE token accounting, r6 board row;
+# tokenizer frozen as ASCII-\s ws_tokens on both sides, ADVICE r5 #2).
+DOCS_GOLDEN_VERSION = 15
 
 # Driver-row sampling parameters (engine twin: operators/sampling.py via
 # __spark_entry__._q_doc_hash_sample) — fixed so the single-process
@@ -371,6 +373,32 @@ def ensure_docs_golden(sf_dir: str) -> Path:
     pd.DataFrame(
         scrub_rows, columns=["doc_id", "n_pii", "scrubbed_text"]
     ).to_parquet(out_dir / "golden_scrub.parquet", index=False)
+
+    # --- trained-BPE token accounting (engine twin: operators/bpe.py
+    # word_counts -> bpe_train -> bpe_token_counts): the whole chain
+    # single-process — word counts under the frozen ws_tokens tokenizer,
+    # top-BPE_MAX_WORDS vocabulary by (count desc, word asc), the
+    # deterministic trainer, then per-doc encode ---
+    from ..semantics.bpe import (
+        BPE_MAX_WORDS, BPE_N_MERGES, encode_text, train_bpe_from_counts,
+        ws_tokens,
+    )
+
+    wc: dict[str, int] = {}
+    for t in texts.values():
+        for w in ws_tokens(t):
+            wc[w] = wc.get(w, 0) + 1
+    vocab = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_WORDS]
+    merges = train_bpe_from_counts(vocab, BPE_N_MERGES)
+    enc_cache: dict[str, list[str]] = {}
+    bpe_rows = [
+        (d, len(ws_tokens(texts[d])),
+         len(encode_text(texts[d], merges, _cache=enc_cache)))
+        for d in sorted(texts)
+    ]
+    pd.DataFrame(
+        bpe_rows, columns=["doc_id", "n_ws_tokens", "n_bpe_tokens"]
+    ).to_parquet(out_dir / "golden_bpe_counts.parquet", index=False)
 
     # --- ANN + near-dup over the shared numpy kernel ---
     import numpy as np

@@ -16,6 +16,24 @@ counts; training touches only the bounded vocabulary).
 
 from __future__ import annotations
 
+import re
+
+# THE BPE word tokenizer, frozen as Java-regex `\s` (ASCII whitespace):
+# the corpus-scale count aggregate stays a pure-Catalyst
+# split(text, '\\s+') (codegen, no Python in the one full scan), and the
+# Python side — encoding kernels and the oracle twin — splits on the
+# SAME character class.  str.split() (Unicode whitespace) would diverge
+# on NBSP/ideographic-space corpora (ADVICE r5 #2): a word glued by
+# NBSP is ONE token on both sides now, by spec.
+_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def ws_tokens(text: str) -> list[str]:
+    """Whitespace tokens under the frozen ASCII-`\\s` tokenizer —
+    bit-identical to Spark's split(text, '\\s+') + != '' filter."""
+    return [t for t in _WS_RE.split(text) if t]
+
+
 BPE_N_MERGES = 64        # default merge budget
 BPE_MAX_WORDS = 10_000   # bounded training vocabulary (top by count;
                          # the trainer's driver collect is O(this),
@@ -91,10 +109,11 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 
 def encode_text(text: str, merges: list[tuple[str, str]],
                 _cache: dict[str, list[str]] | None = None) -> list[str]:
-    """Whitespace-split, encode each word; optional per-call word cache
-    (corpora repeat words heavily — the cache is the fast path)."""
+    """Tokenize with the frozen ws_tokens (same set as the Spark count
+    scan), encode each word; optional per-call word cache (corpora repeat
+    words heavily — the cache is the fast path)."""
     out: list[str] = []
-    for w in text.split():
+    for w in ws_tokens(text):
         if _cache is not None:
             enc = _cache.get(w)
             if enc is None:
