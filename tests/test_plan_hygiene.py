@@ -137,7 +137,11 @@ def test_no_cartesian_products_in_kg_paths(spark, sf01):
 def test_emb_neardup_is_blocked_not_collected(spark, sf01):
     """The shipped emb_neardup must be the LSH-blocked path: candidate
     generation is an equi-join (no CartesianProduct), nothing collects a
-    vector matrix to the driver, and the verify is Arrow-batched."""
+    vector matrix to the driver, and the verify is Arrow-batched.  Since
+    r6 the board row unions a keep leg on top of a localCheckpointed
+    pair frame, so the Python kernels are gated on the PAIR-DISCOVERY
+    plan (pre-checkpoint) and the board row's final plan must run the
+    discovery zero times (one checkpoint feeds both legs)."""
     import inspect
 
     from uk_ner_presidio_demo_spark.operators import similarity
@@ -146,14 +150,19 @@ def test_emb_neardup_is_blocked_not_collected(spark, sf01):
         similarity._emb_block_rows
     )
     assert ".collect()" not in src
-    df = em.queries()["emb_neardup"](spark, sf01)
-    plan = _plan(df)
+    discovery = similarity.emb_neardup_lsh(
+        spark.read.parquet(f"{sf01}/embeddings.parquet")
+    )
+    dplan = _plan(discovery)
+    assert "CartesianProduct" not in dplan
+    assert "BroadcastNestedLoopJoin" not in dplan
+    # the verify kernel is Arrow-batched; the block-keys kernel sits behind
+    # a localCheckpoint (evaluated once, not twice per self-join side)
+    assert dplan.count("MapInPandas") >= 1
+    plan = _plan(em.queries()["emb_neardup"](spark, sf01))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the verify kernel is Arrow-batched; the block-keys kernel sits behind
-    # a localCheckpoint (evaluated once, not twice per self-join side) so
-    # it no longer appears in the final plan
-    assert plan.count("MapInPandas") >= 1
+    assert plan.count("MapInPandas") == 0  # both legs read the checkpoint
 
 
 def test_no_rdd_probe_in_operators():
@@ -212,21 +221,30 @@ def test_jaccard_verify_scores_candidates_once(spark, sf01):
         assert plan.count("ArrowEvalPython") == 1, name
 
 
-def test_signature_kernels_fan_out(spark, sf01):
-    """The MinHash/SimHash signature kernels must not inherit a 1-split
-    input's parallelism (one small parquet file = one partition = a
-    single-core mapInPandas — the r5 doc_simhash_dups bench fragility,
-    SCALE.md §7f): under-partitioned inputs are spread to
-    defaultParallelism; already-wide inputs pass through untouched."""
+def test_signature_kernels_fan_out(spark, sf01, tmp_path):
+    """The MinHash/SimHash/BPE kernels must not inherit a 1-split scan's
+    parallelism (one small parquet file = one scan split = a single-core
+    mapInPandas — the r5 doc_simhash_dups bench fragility, SCALE.md
+    §7f): under-split file scans are spread to defaultParallelism;
+    already-wide scans and non-file frames pass through untouched (a
+    100-TB scan must never be coalesced)."""
     from uk_ner_presidio_demo_spark.operators import dedup
 
-    docs = spark.range(100).selectExpr(
-        "id AS doc_id", "concat('w', id, ' x y z') AS text"
-    ).coalesce(1)
     target = spark.sparkContext.defaultParallelism
+    base = spark.range(1000).selectExpr(
+        "id AS doc_id", "concat('w', id, ' x y z') AS text"
+    )
+    one = str(tmp_path / "one")
+    base.coalesce(1).write.parquet(one)
+    docs = spark.read.parquet(one)
+    assert docs.inputFiles() and len(docs.inputFiles()) == 1
     assert dedup._fanout(docs).rdd.getNumPartitions() == target
-    wide = docs.repartition(target + 3)
-    assert dedup._fanout(wide) is wide
+    wide = str(tmp_path / "wide")
+    base.repartition(target + 3).write.parquet(wide)
+    docs_wide = spark.read.parquet(wide)
+    assert dedup._fanout(docs_wide) is docs_wide
+    local = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert dedup._fanout(local) is local  # non-file source: untouched
 
 
 def test_packing_is_one_shuffle(spark, sf01):

@@ -2,20 +2,53 @@
 
 from __future__ import annotations
 
+import math
+import os
+import re
+
 from pyspark.sql import DataFrame
+
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
 
 def fanout(df: DataFrame) -> DataFrame:
-    """Spread a per-row kernel across cores when the input is
-    under-partitioned.  A small local corpus is often ONE parquet split =
-    ONE partition, so a whole mapInPandas (or the map side of an agg)
-    runs on a single core — which both wastes the cluster and makes the
-    query wall hostage to per-core host speed (the r5 doc_simhash_dups
-    bench fragility; SCALE.md §7f).  At 100 TB the input already has
-    thousands of splits and this guard is a no-op — the repartition
-    fires only when partitions < defaultParallelism."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Spread a per-row kernel across cores when the input SCAN is
+    under-split.  A small local corpus is often ONE parquet file = ONE
+    scan split, so a whole mapInPandas (or the map side of an agg) runs
+    on a single core — which both wastes the cluster and makes the query
+    wall hostage to per-core host speed (the r5 doc_simhash_dups bench
+    fragility; SCALE.md §7f).
+
+    The decision uses scan metadata only (inputFiles + driver-side file
+    sizes vs spark.sql.files.maxPartitionBytes) — no RDD-conversion plan
+    probes: when the estimated split count already reaches
+    defaultParallelism — many files, or few huge files that the reader
+    splits itself — this is a no-op, so a 100-TB scan is never
+    coalesced.  Unknown sources (non-local storage, non-file frames)
+    are left untouched."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes",
+        str(_DEFAULT_MAX_PARTITION_BYTES),
+    )
+    m = re.match(r"(\d+)", str(raw))
+    max_bytes = int(m.group(1)) if m else _DEFAULT_MAX_PARTITION_BYTES
+    splits = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df  # remote storage — the reader's own splits rule
+        try:
+            size = os.stat(re.sub(r"^file:/*", "/", f)).st_size
+        except OSError:
+            return df
+        splits += max(1, math.ceil(size / max_bytes))
+        if splits >= target:
+            return df
+    return df.repartition(target)
