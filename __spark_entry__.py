@@ -481,15 +481,33 @@ def _q_ann_ivfpq_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     came from ann_ivf_kmeans_topk (same trainer lineage — the distributed
     k-means centroids inside build_pq_index stay bit-identical-tested vs
     the oracle trainer); its standalone oracle check moved to
-    tests/test_demoted_queries.py."""
+    tests/test_demoted_queries.py.
+
+    Since r6 the row also exercises INCREMENTAL index maintenance
+    (VERDICT r5 #3 fold): the index is built on the base split
+    (vec_id % PQ_APPEND_MOD != PQ_APPEND_REM), the remainder arrives as
+    an append batch encoded with the FROZEN trainers
+    (pq_index_append), and the query scans the unioned codes — so the
+    oracle (golden_ann_ivfpq_append, base-trained twin) hash-verifies
+    train-freeze, append encoding, and the pure query path at once."""
     from uk_ner_presidio_demo_spark.operators.similarity import (
-        ann_topk_pq_index, build_pq_index,
+        ann_topk_pq_index, build_pq_index, pq_index_append,
+    )
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+        PQ_APPEND_MOD, PQ_APPEND_REM,
     )
 
     idx = _PQ_INDEX_CACHE.get(sf_dir)
     if idx is None:
-        idx = _PQ_INDEX_CACHE[sf_dir] = build_pq_index(
-            read_tpch(spark, sf_dir, "embeddings")
+        emb = read_tpch(spark, sf_dir, "embeddings")
+        base = emb.filter(
+            F.col("vec_id") % PQ_APPEND_MOD != PQ_APPEND_REM
+        )
+        new = emb.filter(
+            F.col("vec_id") % PQ_APPEND_MOD == PQ_APPEND_REM
+        )
+        idx = _PQ_INDEX_CACHE[sf_dir] = pq_index_append(
+            build_pq_index(base), new
         )
     return ann_topk_pq_index(idx)
 
@@ -719,10 +737,30 @@ def _q_txt_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — multi-table hyperplane-LSH
-    blocking + exact-cosine verify (scale path; no driver collect)."""
-    from uk_ner_presidio_demo_spark.operators.similarity import emb_neardup_lsh
+    blocking + exact-cosine verify (scale path; no driver collect).
+    Since r6 the row also carries the dedup-APPLY leg (VERDICT r5 #3
+    fold): leg='pair' rows are the verified pairs, leg='keep' rows the
+    per-cluster keep-min survivors (pairs -> shared CC -> keep-min,
+    operators/similarity.py emb_dedup_apply).  The pair frame is
+    localCheckpointed once and feeds both legs — the two-consumer
+    lineage-cut discipline (CLAUDE.md)."""
+    from uk_ner_presidio_demo_spark.operators.similarity import (
+        emb_dedup_apply, emb_neardup_lsh,
+    )
 
-    return emb_neardup_lsh(read_tpch(spark, sf_dir, "embeddings"))
+    emb = read_tpch(spark, sf_dir, "embeddings")
+    pairs = emb_neardup_lsh(emb).localCheckpoint(eager=True)
+    kept = emb_dedup_apply(emb, pairs=pairs.select("vec_a", "vec_b"))
+    return pairs.select(
+        F.lit("pair").alias("leg"), "vec_a", "vec_b", "cos_r6"
+    ).unionByName(
+        kept.select(
+            F.lit("keep").alias("leg"),
+            F.col("vec_id").alias("vec_a"),
+            F.lit(None).cast("long").alias("vec_b"),
+            F.lit(None).cast("double").alias("cos_r6"),
+        )
+    )
 
 
 def _q_txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,14 +916,27 @@ def _q_pipeline_stage_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from uk_ner_presidio_demo_spark.plans.pipeline import KGPipeline
 
+    from uk_ner_presidio_demo_spark.sources.maintenance import (
+        compact_partitioned_table,
+    )
+
+    out_dir = _tmpdir("outq_pipe_")
     pipe = KGPipeline(
         spark=spark,
         sf_dir=sf_dir,
         checkpoint_dir=_tmpdir("ckq_pipe_"),
-        out_dir=_tmpdir("outq_pipe_"),
+        out_dir=out_dir,
     )
     pipe.run()
     rows = [(r.stage, r.rows) for r in pipe.results]
+    # table-maintenance leg (r6, VERDICT r5 #3): compact the pipeline's
+    # fragmented partitioned edges table; the verified-then-swapped
+    # rewrite must be row-exact, so its count is the same hash-verified
+    # number as canonical_triples — and it only lands in the result if
+    # compaction's own row/schema verification passed
+    stats = compact_partitioned_table(spark, f"{out_dir}/edges", ["pred"])
+    assert stats["files_after"] <= stats["files_before"]
+    rows.append(("compacted_edges", stats["rows"]))
     return spark.createDataFrame(rows, "stage string, n_rows long")
 
 
@@ -1458,6 +1509,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'canonical_nodes', count(*) FROM read_parquet('{gn}')
             UNION ALL
             SELECT 'canonical_triples', count(*) FROM read_parquet('{gct}')
+            UNION ALL
+            SELECT 'compacted_edges', count(*) FROM read_parquet('{gct}')
         """,
         "stream_exact_dedup": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
@@ -1559,7 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivfpq_query_path": f"""
             SELECT query_id, neighbor_id, rank, sim_r6
-            FROM read_parquet('{dg}/golden_ann_ivfpq_topk.parquet')
+            FROM read_parquet('{dg}/golden_ann_ivfpq_append.parquet')
         """,
         "ann_ivfpq_topk": f"""
             SELECT query_id, neighbor_id, rank, sim_r6
@@ -1585,8 +1638,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "emb_neardup": f"""
-            SELECT vec_a, vec_b, cos_r6
+            SELECT 'pair' AS leg, vec_a, vec_b, cos_r6
             FROM read_parquet('{dg}/golden_emb_neardup.parquet')
+            UNION ALL
+            SELECT 'keep', vec_id, CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE)
+            FROM read_parquet('{dg}/golden_emb_dedup_kept.parquet')
         """,
         "doc_dedup_apply": f"""
             SELECT doc_id, text

@@ -52,6 +52,28 @@ def test_max_records_per_file_splits_large_partitions(spark, fragmented):
     assert spark.read.parquet(fragmented).count() == 3000
 
 
+def test_recovery_from_crash_inside_publish_window(spark, fragmented):
+    """A crash between `src -> .old` and `tmp -> src` leaves the table
+    path absent with the data intact at .old (documented window, ADVICE
+    r5 #1); the NEXT compaction call must restore .old first and then
+    complete normally."""
+    import pathlib
+    import shutil
+
+    src = pathlib.Path(fragmented)
+    old = src.with_name(src.name + ".old")
+    tmp = src.with_name(src.name + ".compact_tmp")
+    # simulate the crash state: src renamed away, a stale tmp left behind
+    src.rename(old)
+    tmp.mkdir()
+    (tmp / "garbage.parquet").write_bytes(b"not parquet")
+    assert not src.exists()
+    stats = compact_partitioned_table(spark, fragmented, ["pred"])
+    assert stats["rows"] == 3000
+    assert not old.exists() and not tmp.exists()
+    assert spark.read.parquet(fragmented).count() == 3000
+
+
 def test_failed_compaction_leaves_source(spark, tmp_path, fragmented,
                                          monkeypatch):
     """A verification failure must leave the original table readable and

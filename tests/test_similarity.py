@@ -352,3 +352,21 @@ class TestPqIndexAppend:
         # old index untouched (immutability): re-query matches `before`
         again = ann_topk_pq_index(index).toPandas()
         assert before.equals(again)
+
+    def test_append_is_idempotent_under_redelivery(self, spark, sf01):
+        """ADVICE r5 #3: re-appending an already-delivered batch (or a
+        batch overlapping the base corpus) must not duplicate codes rows
+        — vec_ids already indexed are anti-joined away before encoding."""
+        from uk_ner_presidio_demo_spark.operators.similarity import (
+            pq_index_append,
+        )
+
+        emb, old, new, index = self._split(spark, sf01)
+        once = pq_index_append(index, new)
+        twice = pq_index_append(once, new)        # exact redelivery
+        overlap = pq_index_append(twice, emb)     # superset redelivery
+        n = emb.count()
+        for idx in (once, twice, overlap):
+            codes = idx["codes"].toPandas()
+            assert len(codes) == n
+            assert codes["vec_id"].is_unique

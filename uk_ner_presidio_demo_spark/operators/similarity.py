@@ -586,7 +586,8 @@ def emb_neardup(emb: DataFrame, threshold: float = EMB_NEARDUP_COS) -> DataFrame
 
 
 def emb_dedup_apply(emb: DataFrame,
-                    threshold: float = EMB_NEARDUP_COS) -> DataFrame:
+                    threshold: float = EMB_NEARDUP_COS,
+                    pairs: DataFrame | None = None) -> DataFrame:
     """Embedding-level dedup APPLICATION: LSH-blocked near-dup pairs ->
     connected components -> keep the minimum vec_id per cluster
     (singletons keep themselves).  The vector-side twin of
@@ -597,10 +598,14 @@ def emb_dedup_apply(emb: DataFrame,
 
     Scale shape: candidate generation is the blocked self-join (never
     all-pairs); CC iterates only over vectors touching a dup pair
-    (singleton bypass); the keep is a left-semi join."""
+    (singleton bypass); the keep is a left-semi join.  Pass `pairs`
+    (vec_a, vec_b) to reuse an already-materialized pair frame — the
+    two-consumer lineage-cut discipline when a query emits both the
+    pairs and the keep set."""
     from ..operators.canonicalize import connected_components
 
-    pairs = emb_neardup_lsh(emb, threshold).select("vec_a", "vec_b")
+    if pairs is None:
+        pairs = emb_neardup_lsh(emb, threshold).select("vec_a", "vec_b")
     pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
     nodes = emb.select(
         F.lit("vec").alias("entity_type"),
@@ -637,8 +642,17 @@ def pq_index_append(index: dict, new_emb: DataFrame) -> dict:
     Equivalence (twin-tested): append(build(old), new) produces exactly
     the codes of encoding old ∪ new under the same frozen trainers, and
     the query path over the appended index returns new vectors in
-    results."""
+    results.
+
+    Idempotent under redelivery (ADVICE r5 #3): vec_ids already present
+    in the index are dropped from the batch by a left-anti join before
+    encoding, so re-appending a delivered batch never duplicates
+    neighbors (at scale the codes table is bucketed by vec_id, making
+    the anti-join co-located)."""
+    fresh = new_emb.join(
+        index["codes"].select("vec_id"), "vec_id", "left_anti"
+    )
     new_codes = pq_encode_table(
-        new_emb, index["books"], centroids=index["centroids"]
+        fresh, index["books"], centroids=index["centroids"]
     ).localCheckpoint(eager=True)
     return {**index, "codes": index["codes"].unionByName(new_codes)}

@@ -26,7 +26,18 @@ from ..semantics.docsim import (
 # cached goldens must come from the code that includes the rule).
 # v15: + golden_bpe_counts (trained-BPE token accounting, r6 board row;
 # tokenizer frozen as ASCII-\s ws_tokens on both sides, ADVICE r5 #2).
-DOCS_GOLDEN_VERSION = 15
+# v16: + golden_emb_dedup_kept (keep leg folded into the emb_neardup
+# row) and golden_ann_ivfpq_append (append-then-query fold into
+# ann_ivfpq_query_path: trainers frozen on the base split) — r6,
+# VERDICT r5 #3.
+DOCS_GOLDEN_VERSION = 16
+
+# Appended-index driver-row split (engine twin: __spark_entry__
+# _q_ann_ivfpq_query_path): vectors with vec_id % PQ_APPEND_MOD ==
+# PQ_APPEND_REM arrive AFTER the index is built and are appended with
+# frozen trainers; the rest are the base corpus the trainers see.
+PQ_APPEND_MOD = 10
+PQ_APPEND_REM = 7
 
 # Driver-row sampling parameters (engine twin: operators/sampling.py via
 # __spark_entry__._q_doc_hash_sample) — fixed so the single-process
@@ -511,6 +522,57 @@ def ensure_docs_golden(sf_dir: str) -> Path:
     pd.DataFrame(nd_rows, columns=["vec_a", "vec_b", "cos_r6"]).to_parquet(
         out_dir / "golden_emb_neardup.parquet", index=False
     )
+
+    # emb dedup-apply keep set (fold into the emb_neardup row, r6):
+    # union-find over the LSH-verified pairs above, keep-min per
+    # component (singletons keep themselves) — the vector-side twin of
+    # golden_dedup_kept
+    eparent: dict[int, int] = {}
+
+    def efind(x: int) -> int:
+        while eparent.get(x, x) != x:
+            eparent[x] = eparent.get(eparent[x], eparent[x])
+            x = eparent[x]
+        return x
+
+    for a, b, _ in nd_rows:
+        ra, rb = efind(a), efind(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            eparent[hi] = lo
+    pd.DataFrame(
+        [(v,) for v in vids if efind(v) == v], columns=["vec_id"]
+    ).to_parquet(out_dir / "golden_emb_dedup_kept.parquet", index=False)
+
+    # IVF-PQ appended-index twin (fold into ann_ivfpq_query_path, r6):
+    # trainers (k-means centroids + PQ codebooks) FROZEN on the base
+    # split (vec_id % PQ_APPEND_MOD != PQ_APPEND_REM); the append batch
+    # is encoded with those trainers; queries are the bounded set drawn
+    # from the base corpus (they exist before the append); top-k scans
+    # the UNION of base and appended codes
+    base_ids = [v for v in vids if v % PQ_APPEND_MOD != PQ_APPEND_REM]
+    base_mat = np.array([by_id[v] for v in base_ids], dtype=np.float64)
+    a_cent = kmeans_train(base_mat)  # base rows are vec_id-ascending
+    a_books = pq_train(base_mat[:PQ_TRAIN_SAMPLE])
+    a_cells = np.array(
+        [ivf_cell(by_id[v], centroids=a_cent) for v in vids]
+    )
+    a_qids = [v for v in base_ids if v % ANN_Q_MOD == 0][:ANN_Q]
+    a_qmat = np.array([by_id[q] for q in a_qids], dtype=np.float64)
+    a_probes = [np.array(ivf_probe_cells(by_id[q], centroids=a_cent))
+                for q in a_qids]
+    a_sims = pq_adc_cosine(a_qmat, pq_encode(cmat, a_books), a_books)
+    app_rows = []
+    for qi, q in enumerate(a_qids):
+        col = a_sims[:, qi]
+        mask = (cids != q) & np.isin(a_cells, a_probes[qi])
+        idx = np.nonzero(mask)[0]
+        order = np.lexsort((cids[idx], -col[idx]))[:ANN_K]
+        for rank, j in enumerate(idx[order], 1):
+            app_rows.append((q, int(cids[j]), rank, round(float(col[j]), 6)))
+    pd.DataFrame(
+        app_rows, columns=["query_id", "neighbor_id", "rank", "sim_r6"]
+    ).to_parquet(out_dir / "golden_ann_ivfpq_append.parquet", index=False)
 
     # near-dup all-pairs twin (quadratic correctness fixture for pytest —
     # NOT the driver oracle)

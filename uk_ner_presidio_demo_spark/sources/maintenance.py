@@ -12,10 +12,16 @@ before data size does.  Compaction rewrites each partition into few
 large files without changing a single row.
 
 Safety contract: the rewrite lands in a sibling temp dir first, row
-count and schema are verified against the source, and only then does an
-atomic directory swap publish it (the old data survives as `<path>.old`
-until the swap completes) — a crash at any point leaves a readable
-table.
+count and schema (names AND types) are verified against the source, and
+only then is it published.  The publish is two renames — `src -> .old`,
+`tmp -> src` — so there IS a window in which the table path is absent;
+a crash there never loses data (it survives at `<path>.old`), and the
+next `compact_partitioned_table` call on the same path restores `.old`
+before doing anything else.  Concurrent READERS during the window see a
+missing path — production would take a lock or use a metadata-pointer
+commit (what Iceberg's snapshot swap actually is); for the maintenance
+job this repo runs, recovery-on-next-call is the contract (ADVICE r5
+#1).
 """
 
 from __future__ import annotations
@@ -48,12 +54,17 @@ def compact_partitioned_table(
     path.  Returns {rows, files_before, files_after}.
     """
     src = Path(path)
+    tmp = src.with_name(src.name + ".compact_tmp")
+    old = src.with_name(src.name + ".old")
+    if not src.exists() and old.exists():
+        # crash inside a previous publish window (src -> .old done,
+        # tmp -> src not): restore the verified previous data first
+        shutil.rmtree(tmp, ignore_errors=True)
+        old.rename(src)
     df = spark.read.parquet(str(src))
     n_before = df.count()
     files_before = len(_data_files(src))
 
-    tmp = src.with_name(src.name + ".compact_tmp")
-    old = src.with_name(src.name + ".old")
     shutil.rmtree(tmp, ignore_errors=True)
     (
         df.repartition(*partition_cols)
@@ -71,7 +82,10 @@ def compact_partitioned_table(
             f"compaction row mismatch: {n_before} -> {n_after}; "
             f"source left untouched"
         )
-    if sorted(out.columns) != sorted(df.columns):
+    def _sig(schema):  # names AND types (ADVICE r5 #1)
+        return sorted((f.name, f.dataType.simpleString()) for f in schema)
+
+    if _sig(out.schema) != _sig(df.schema):
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError("compaction schema mismatch; source untouched")
 
