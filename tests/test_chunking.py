@@ -506,3 +506,116 @@ def test_excise_owner_cap_metrics_surface_truncation(spark):
     m2 = {r["metric"]: r["value"]
           for r in excise_owner_cap_metrics(docs).collect()}
     assert m2["n_owner_pairs_dropped"] == 0 and m2["n_docs_capped"] == 0
+
+
+class TestShingleTailPass:
+    """Opt-in winnowed-shingle candidate pass (r6, VERDICT r5 #4): the
+    recall lever for runs below the CDC resync horizon."""
+
+    @staticmethod
+    def _fixture_texts():
+        """24-token shared run (below the resync horizon) embedded at
+        different offsets in different word-salad contexts — seed chosen
+        so the two docs share ZERO chunk hashes (the documented
+        chunk-blocking blind spot) while winnowing, by its guarantee,
+        still pairs them."""
+        import random
+
+        rng = random.Random(0)
+        vocab = [f"w{i}" for i in range(500)]
+        run = [vocab[rng.randrange(500)] for _ in range(24)]
+        a = [vocab[rng.randrange(500)] for _ in range(60)] + run + \
+            [vocab[rng.randrange(500)] for _ in range(60)]
+        b = [vocab[rng.randrange(500)] for _ in range(37)] + run + \
+            [vocab[rng.randrange(500)] for _ in range(80)]
+        return " ".join(a), " ".join(b)
+
+    def test_fixture_is_a_chunk_blind_spot(self):
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            shingle_fingerprints,
+        )
+
+        a, b = self._fixture_texts()
+        ha = {h for _, _, h in token_chunks(a)}
+        hb = {h for _, _, h in token_chunks(b)}
+        assert not (ha & hb)  # chunk blocking cannot pair these
+        assert shingle_fingerprints(a) & shingle_fingerprints(b)
+
+    def test_winnowing_guarantee_property(self):
+        """Any shared run of >= SHINGLE_K + SHINGLE_W - 1 (==
+        MIN_SPAN_TOKENS) tokens guarantees a shared fingerprint —
+        for arbitrary contexts and offsets."""
+        import random
+
+        from hypothesis import given, settings, strategies as st
+
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            MIN_SPAN_TOKENS, SHINGLE_K, SHINGLE_W, shingle_fingerprints,
+        )
+
+        assert SHINGLE_K + SHINGLE_W - 1 == MIN_SPAN_TOKENS
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(0, 10**9), st.integers(0, 80),
+               st.integers(0, 80), st.integers(MIN_SPAN_TOKENS, 48))
+        def prop(seed, off_a, off_b, run_len):
+            rng = random.Random(seed)
+            vocab = [f"t{i}" for i in range(300)]
+            run = [vocab[rng.randrange(300)] for _ in range(run_len)]
+            a = [vocab[rng.randrange(300)] for _ in range(off_a)] + run \
+                + [vocab[rng.randrange(300)] for _ in range(11)]
+            b = [vocab[rng.randrange(300)] for _ in range(off_b)] + run \
+                + [vocab[rng.randrange(300)] for _ in range(7)]
+            assert shingle_fingerprints(" ".join(a)) \
+                & shingle_fingerprints(" ".join(b))
+
+        prop()
+
+    def test_flag_recovers_sub_horizon_run_exactly(self, spark):
+        """Default mode misses the fixture's 24-token run entirely;
+        shingle_tail=True excises it with boundaries equal to the
+        DP-twin oracle's maximal runs — and cuts nothing else."""
+        from uk_ner_presidio_demo_spark.operators.chunking import (
+            excise_duplicate_spans,
+        )
+        from uk_ner_presidio_demo_spark.semantics.chunking import (
+            MIN_SPAN_TOKENS, matching_statistics_dp,
+            maximal_duplicated_runs,
+        )
+
+        a, b = self._fixture_texts()
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        off = {r["doc_id"]: r for r in
+               excise_duplicate_spans(docs).collect()}
+        assert off[1]["n_excised_tokens"] == 0
+        assert off[2]["n_excised_tokens"] == 0  # the documented miss
+        on = {r["doc_id"]: r for r in
+              excise_duplicate_spans(docs, shingle_tail=True).collect()}
+        assert on[1]["n_excised_tokens"] == 0  # owner keeps its copy
+        ms = matching_statistics_dp(a.lower().split(), b.lower().split())
+        runs = maximal_duplicated_runs(ms, MIN_SPAN_TOKENS)
+        cut = set()
+        for s, e in runs:
+            cut.update(range(s, e))
+        toks = b.split()
+        want_clean = " ".join(t for i, t in enumerate(toks)
+                              if i not in cut)
+        assert on[2]["n_excised_tokens"] == len(cut) == 24
+        assert on[2]["clean_text"] == want_clean
+
+    def test_flag_on_is_a_cut_superset_on_the_corpus(self, spark, sf01):
+        """On the real sf0.01 corpus: flag-on cuts at least what flag-off
+        cuts, per doc (extra candidates can only add verified runs)."""
+        from uk_ner_presidio_demo_spark.operators.chunking import (
+            excise_duplicate_spans,
+        )
+
+        docs = read_tpch(spark, sf01, "documents")
+        off = excise_duplicate_spans(docs).toPandas() \
+            .set_index("doc_id").sort_index()
+        on = excise_duplicate_spans(docs, shingle_tail=True).toPandas() \
+            .set_index("doc_id").sort_index()
+        assert (on["n_excised_tokens"] >= off["n_excised_tokens"]).all()
+        assert (on["n_tokens"] == off["n_tokens"]).all()

@@ -33,8 +33,10 @@ from ..semantics.chunking import (
     TokenSuffixAutomaton,
     longest_common_token_run,
     maximal_duplicated_runs,
+    shingle_fingerprints,
     token_chunks,
 )
+from .partitioning import fanout
 
 CHUNKS_SCHEMA = T.StructType(
     [
@@ -292,7 +294,8 @@ def cross_owner_spans(docs: DataFrame,
                       min_span_tokens: int = MIN_SPAN_TOKENS,
                       max_owners: int = EXCISE_MAX_OWNERS,
                       _ch: DataFrame | None = None,
-                      _first: DataFrame | None = None) -> DataFrame:
+                      _first: DataFrame | None = None,
+                      extra_pairs: DataFrame | None = None) -> DataFrame:
     """(doc_id, span_start, span_end): MAXIMAL duplicated token runs
     >= min_span_tokens that doc shares with an OWNER doc — a doc holding
     the global-first occurrence of a chunk this doc repeats.  Candidate
@@ -323,6 +326,13 @@ def cross_owner_spans(docs: DataFrame,
     cross = _ranked_owner_pairs(ch, first).filter(
         F.col("rk") <= max_owners
     ).select("doc_id", "owner")
+    if extra_pairs is not None:
+        # tail-pass candidates (doc_id, owner) union in; matching
+        # statistics are idempotent per pair, so a pair found by both
+        # sources is deduped here and verified once
+        cross = cross.unionByName(
+            extra_pairs.select("doc_id", "owner")
+        ).distinct()
     td = docs.select("doc_id", "text")
     to = docs.select(F.col("doc_id").alias("owner"),
                      F.col("text").alias("owner_text"))
@@ -359,8 +369,68 @@ def cross_owner_spans(docs: DataFrame,
     return pairs.mapInPandas(kernel, SPANS_SCHEMA)
 
 
+def shingle_candidate_pairs(docs: DataFrame,
+                            max_owners: int = EXCISE_MAX_OWNERS,
+                            max_fp_df_frac: float = MAX_CHUNK_DF_FRAC,
+                            ) -> DataFrame:
+    """(doc_id, owner) candidate pairs from WINNOWED k-gram fingerprints
+    (semantics/chunking.py shingle_fingerprints) — the opt-in tail pass
+    for exact-span excision (VERDICT r5 #4).  CDC chunk blocking misses
+    runs below the boundary resync horizon (~MIN_CHUNK+WINDOW tokens);
+    winnowing guarantees every run >= MIN_SPAN_TOKENS shares a selected
+    fingerprint, so candidate recall for verify-eligible runs is 1.0 by
+    construction.  The trade is candidate volume (fingerprints are
+    denser than chunks) — which is why this is a flag, not the default.
+
+    Same scale discipline as the chunk path: ubiquitous fingerprints are
+    fraction-capped before the self-join (the boilerplate stop-list),
+    the pair list is one row per sharing relation, and each doc keeps at
+    most `max_owners` owners (most shared fingerprints first, ties by
+    owner id).  Owner = the earlier doc (min id keeps content), matching
+    the excision keep-earliest contract."""
+    fp_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for h in shingle_fingerprints(text):
+                    rows.append((int(doc_id), h))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    fps = fanout(docs.select("doc_id", "text")) \
+        .mapInPandas(kernel, fp_schema).localCheckpoint(eager=True)
+    n_docs = docs.select("doc_id").distinct().count()
+    cap = max(MIN_CHUNK_DF_CAP, int(n_docs * max_fp_df_frac))
+    rare = fps.groupBy("fp").count().filter(F.col("count") <= cap) \
+        .select("fp")
+    fps = fps.join(rare, "fp", "left_semi")
+    a, b = fps.alias("a"), fps.alias("b")
+    ranked = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("owner"),
+        )
+        .agg(F.countDistinct("a.fp").alias("n_shared"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_shared"), F.asc("owner")
+    )
+    return ranked.withColumn("rk", F.row_number().over(w)) \
+        .filter(F.col("rk") <= max_owners).select("doc_id", "owner")
+
+
 def excise_duplicate_spans(docs: DataFrame,
                            min_span_tokens: int = MIN_SPAN_TOKENS,
+                           shingle_tail: bool = False,
                            ) -> DataFrame:
     """EXACT-boundary span excision (VERDICT r4 #6): every maximal
     duplicated run >= min_span_tokens shared with an owner doc is cut
@@ -370,13 +440,23 @@ def excise_duplicate_spans(docs: DataFrame,
     `excise_duplicate_chunks` remains the oracle-simpler chunk-rounded
     twin; this operator is the Lee et al. shape: excision boundaries
     land exactly at the duplicated substring's edges, including the
-    partial-chunk head/tail the chunk version misses."""
+    partial-chunk head/tail the chunk version misses.
+
+    `shingle_tail=True` (opt-in, VERDICT r5 #4) adds winnowed-k-gram
+    candidate pairs (shingle_candidate_pairs) so runs below the CDC
+    resync horizon — which chunk-hash blocking can NEVER pair
+    (SCALE.md §7e) — still reach the matching-statistics verify; the
+    guarantee threshold equals min_span_tokens when called with the
+    default, so candidate recall for verify-eligible cross-doc runs is
+    1.0.  Costs candidate volume (measured in SCALE.md §7e); a
+    corpus-profile decision, hence a flag."""
     ch = doc_chunks(docs).localCheckpoint(eager=True)
     first = ch.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("first")
     ).localCheckpoint(eager=True)  # ownership agg once; both consumers
+    extra = shingle_candidate_pairs(docs) if shingle_tail else None
     spans = cross_owner_spans(docs, min_span_tokens, _ch=ch,
-                              _first=first).select(
+                              _first=first, extra_pairs=extra).select(
         "doc_id",
         F.col("span_start").alias("start_tok"),
         F.col("span_end").alias("end_tok"),

@@ -42,6 +42,19 @@ MIN_SPAN_TOKENS = 20       # verify threshold: exact common run length
 # doc (which would otherwise cost O(|doc|^2 / chunk) per doc).  Part of
 # the DOCS golden contract (golden_excised_exact).
 EXCISE_MAX_OWNERS = 64
+# Opt-in shingle tail pass (r6, VERDICT r5 #4): CDC chunk hashes cannot
+# pair runs shorter than the boundary RESYNC HORIZON (~MIN_CHUNK+WINDOW
+# tokens of identical context before boundaries re-align), so the
+# excision tail (runs of MIN_SPAN_TOKENS..~horizon) needs a
+# position-independent candidate source.  Winnowed k-gram fingerprints
+# (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+# Document Fingerprinting", SIGMOD 2003) give a DETERMINISTIC guarantee:
+# selecting the (rightmost) minimum k-gram hash in every window of
+# SHINGLE_W consecutive k-grams guarantees any shared token run of
+# length >= SHINGLE_K + SHINGLE_W - 1 shares a selected fingerprint.
+# The constants are tied so that guarantee threshold == MIN_SPAN_TOKENS:
+# every run the verify stage would accept is guaranteed a candidate.
+SHINGLE_K = 8
 BOUNDARY_BITS = 4          # boundary prob 1/16 per eligible position
 _BOUNDARY_MASK = (1 << BOUNDARY_BITS) - 1
 MIN_CHUNK = 8              # tokens; resync lower bound
@@ -80,6 +93,30 @@ def token_chunks(text: str) -> list[tuple[int, int, str]]:
          hashlib.md5(" ".join(toks[s:e]).encode("utf-8")).hexdigest())
         for s, e in out
     ]
+
+
+SHINGLE_W = MIN_SPAN_TOKENS - SHINGLE_K + 1  # guarantee == MIN_SPAN_TOKENS
+
+
+def shingle_fingerprints(text: str, k: int = SHINGLE_K,
+                         w: int = SHINGLE_W) -> set[int]:
+    """Winnowed k-gram fingerprint VALUE set of the case-folded token
+    stream: the minimum k-gram hash of every window of `w` consecutive
+    k-grams (SIGMOD'03 winnowing; only values are kept, so the paper's
+    tie rule is immaterial — equal minima select the same value).  Any
+    two documents sharing a token run of length >= k + w - 1 contain a
+    full common window and therefore share that window's minimum — the
+    deterministic candidate guarantee the excision tail pass builds
+    on."""
+    toks = text.lower().split()
+    n = len(toks) - k + 1
+    if n <= 0:
+        return set()
+    hs = [zlib.crc32(" ".join(toks[i:i + k]).encode("utf-8"))
+          for i in range(n)]
+    if n <= w:
+        return {min(hs)}
+    return {min(hs[i:i + w]) for i in range(n - w + 1)}
 
 
 def longest_common_token_span(a: str, b: str) -> int:
