@@ -11,6 +11,29 @@ from pyspark.sql import DataFrame
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
 
+def scan_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the frame's file scan, from metadata only (None
+    when the source is not local files) — the sizing input for
+    data-scaled bucket counts (e.g. the triples cogroup key space),
+    so a 10x corpus gets ~10x group keys instead of 10x-fatter pandas
+    frames."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        try:
+            total += os.stat(re.sub(r"^file:/*", "/", f)).st_size
+        except OSError:
+            return None
+    return total
+
+
 def fanout(df: DataFrame) -> DataFrame:
     """Spread a per-row kernel across cores when the input SCAN is
     under-split.  A small local corpus is often ONE parquet file = ONE

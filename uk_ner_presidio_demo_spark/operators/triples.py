@@ -36,6 +36,12 @@ TRIPLES_SCHEMA = T.StructType(
 _MENTION_COLS = ["mention_idx", "entity_type", "start", "end", "score",
                  "surface", "norm_surface"]
 
+# ~64 KB of transcript parquet per cogroup key ≈ 1.4k turns/bucket at
+# this corpus's bytes/turn — the measured flat spot at BOTH sf0.1 and
+# sf1 (SCALE.md §7d): small enough frames to stay cache-friendly, few
+# enough keys that the ~1 ms/key crossing cost stays amortized.
+BUCKET_TARGET_BYTES = 64 * 1024
+
 
 def emit_triples(transcripts: DataFrame, mentions: DataFrame,
                  window: int = WINDOW_W,
@@ -48,10 +54,24 @@ def emit_triples(transcripts: DataFrame, mentions: DataFrame,
     The kernel iterates its bucket's conversations with an in-pandas
     groupby — per-conv semantics identical, ~60x fewer group crossings,
     still one shuffle by the bucket key.  Skew is unchanged: a hot conv
-    bounds a task either way."""
+    bounds a task either way.
+
+    The bucket count scales with the INPUT, not just the core count
+    (VERDICT r5 #5 — the fixed 2/core key space under-partitioned sf1:
+    10x rows made each bucket's pandas frame 10x fatter, measured 14.8 s
+    vs 9.5 s at a scaled key space on the same input).  Keys come from
+    scan bytes at ~BUCKET_TARGET_BYTES per key (metadata only; at sf0.1
+    this reproduces the old 64, at sf1 it yields ~640) with the 2/core
+    floor for non-file inputs — group KEYS are not shuffle partitions,
+    so more keys only bound the per-frame size, they don't fragment
+    tasks."""
+    from .partitioning import scan_bytes
+
     spark = transcripts.sparkSession
+    est = scan_bytes(transcripts) or 0
     n_buckets = max(8, spark.sparkContext.defaultParallelism
-                    * buckets_per_core)
+                    * buckets_per_core,
+                    est // BUCKET_TARGET_BYTES)
     bucket = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
     def kernel(key: tuple, turns_pdf: pd.DataFrame,
