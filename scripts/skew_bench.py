@@ -180,7 +180,111 @@ def main() -> None:
         _force(neardup_minhash(spiked))
         spiked_stages = _new_heavy_stages(spark, before, min_tasks=4)
 
+        # ENTITY-UNIVERSE skew (r6, VERDICT r5 #7; SURVEY §4.2 notes AQE
+        # skew handling does not reach the CC groupBy).  Two planted
+        # shapes:
+        #   (a) a hot SURFACE dominating the mention stream (50k extra
+        #       mentions of one entity) — absorbed where it must be: at
+        #       the distinct() feeding linking, whose partial (map-side)
+        #       aggregation combines the hot key per task before the
+        #       shuffle, so the reducer sees ONE row per (task, key);
+        #   (b) a 120-variant celebrity cluster in the entity universe —
+        #       every variant bands with every other (≈7k verified
+        #       edges), stressing the linking band self-join and, with
+        #       the local gate disabled, the distributed CC loop's
+        #       per-iteration join+agg (its hub id receives one row per
+        #       neighbor; min() is algebraic, so map-side combine
+        #       pre-shrinks the hot group the same way).
+        from uk_ner_presidio_demo_spark.operators.canonicalize import (
+            connected_components,
+        )
+        from uk_ner_presidio_demo_spark.operators.detect import (
+            detect_turns, mentions_from_turns,
+        )
+        from uk_ner_presidio_demo_spark.operators.linking import (
+            distinct_entities, link_entities,
+        )
+        from uk_ner_presidio_demo_spark.sources.tables import read_aliases
+
+        mentions = mentions_from_turns(detect_turns(tr, "priority")) \
+            .localCheckpoint(eager=True)
+        mcols = mentions.columns
+        hot_ment = spark.range(50_000).selectExpr(
+            "concat('skewconv', CAST(id % 97 AS STRING)) AS conv_id",
+            "CAST(id % 40 AS BIGINT) AS turn_idx",
+            "CAST(id % 7 AS BIGINT) AS mention_idx",
+            "'PERS' AS entity_type",
+            "CAST(0 AS BIGINT) AS start", "CAST(14 AS BIGINT) AS end",
+            "CAST(0.85 AS DOUBLE) AS score",
+            "'Зірка Скандалу' AS surface",
+            "'зірка скандалу' AS norm_surface",
+        ).select(*mcols)
+        base_surface = "видатна знаменитість федір коваленко журналіст"
+        var_ment = spark.range(120).selectExpr(
+            "concat('varconv', CAST(id AS STRING)) AS conv_id",
+            "CAST(0 AS BIGINT) AS turn_idx",
+            "CAST(0 AS BIGINT) AS mention_idx",
+            "'PERS' AS entity_type",
+            "CAST(0 AS BIGINT) AS start", "CAST(40 AS BIGINT) AS end",
+            "CAST(0.85 AS DOUBLE) AS score",
+            f"concat('{base_surface} ', lpad(CAST(id AS STRING), 2, '0'))"
+            " AS surface",
+            f"concat('{base_surface} ', lpad(CAST(id AS STRING), 2, '0'))"
+            " AS norm_surface",
+        ).select(*mcols)
+        spiked_m = mentions.unionByName(hot_ment).unionByName(var_ment) \
+            .localCheckpoint(eager=True)
+        ment_rows = (
+            spiked_m.groupBy("entity_type", "norm_surface").count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("med"),
+            ).first()
+        )
+        before = set(_completed_stages(spark))
+        _force(distinct_entities(spiked_m))
+        distinct_stages = _new_heavy_stages(spark, before, min_tasks=8,
+                                            top=1)
+        before = set(_completed_stages(spark))
+        nodes_s, edges_s = link_entities(spiked_m, read_aliases(spark))
+        n_hot_edges = edges_s.count()
+        linking_stages = _new_heavy_stages(spark, before, min_tasks=8)
+        # deterministic per-KEY skew into the CC min-label aggregate: the
+        # hub id receives one row per neighbor BEFORE the map-side
+        # combine; min() is algebraic, so partial aggregation pre-shrinks
+        # the hot group to <= one row per map task — the combine IS the
+        # salt, which is why the CC groupBy needs none of its own
+        e_sym = edges_s.select(
+            F.concat_ws(":", "entity_type", "src").alias("src"),
+            F.concat_ws(":", "entity_type", "dst").alias("dst"),
+        )
+        cc_key_rows = (
+            e_sym.select(F.col("dst").alias("id"))
+            .unionByName(e_sym.select(F.col("src").alias("id")))
+            .groupBy("id").count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("med"),
+            ).first()
+        )
+        before = set(_completed_stages(spark))
+        _force(connected_components(nodes_s, edges_s, local_max_edges=0))
+        # min_tasks=1: AQE coalesces each iteration's ~5k-edge shuffle to
+        # 1-2 tasks — recording that coalescence is the point (skew
+        # cannot manifest below partition granularity)
+        cc_stages = _new_heavy_stages(spark, before, min_tasks=1)
+
         result["sfs"][key] = {
+            "entity_mention_rows_max": ment_rows["mx"],
+            "entity_mention_rows_median": ment_rows["med"],
+            "entity_mention_ratio": round(
+                ment_rows["mx"] / ment_rows["med"], 2),
+            "entity_distinct_stage": distinct_stages,
+            "entity_cluster_edges": n_hot_edges,
+            "entity_linking_stages": linking_stages,
+            "entity_cc_key_rows_max": cc_key_rows["mx"],
+            "entity_cc_key_rows_median": cc_key_rows["med"],
+            "entity_cc_distributed_stages": cc_stages,
             "band_key_rows_max": band_rows["mx"],
             "band_key_rows_median": band_rows["med"],
             "band_key_ratio": round(band_rows["mx"] / band_rows["med"], 2),

@@ -367,3 +367,92 @@ class TestTombstoneTransitions:
         out, blob = self._run(fn, st, [])
         flushed = pd.concat(out)
         assert set(flushed["turn_idx"]) == {9}  # only the NEW anchor
+
+
+def test_streaming_triples_restart_from_checkpoint(spark, sf001, tmp_path):
+    """Checkpoint RECOVERY (VERDICT r5 #6 — the standard Structured
+    Streaming failure mode): a query writing to a durable parquet sink
+    is stopped mid-run after a few micro-batches, a NEW query restarts
+    on the SAME checkpoint + sink, runs the remaining input to
+    completion, and the sink equals the batch golden with no duplicates
+    — offsets, operator state (the ±W window buffers), and the sink
+    commit log all survive the restart."""
+    import time
+
+    src_dir = ensure_transcripts(sf001)
+    full = pd.concat(
+        [pd.read_parquet(p) for p in sorted(src_dir.glob("part-*.parquet"))]
+    )
+    src = _ordered_batches(tmp_path, full)
+    n_files = len(list(src.glob("part-*.parquet")))
+    assert n_files > 6  # enough micro-batches that a mid-run stop is real
+
+    def reader():
+        return (
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    # run 1: stop after >=2 committed micro-batches (mid-run)
+    q1 = (
+        streaming_triples(reader())
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = [p for p in q1.recentProgress
+                    if p["numInputRows"] > 0]
+            if len(done) >= 2:
+                break
+            time.sleep(0.3)
+    finally:
+        q1.stop()
+    q1.awaitTermination()
+    batches_run1 = len([p for p in q1.recentProgress
+                        if p["numInputRows"] > 0])
+
+    # run 2: NEW query object, same checkpoint + sink, to completion
+    q2 = (
+        streaming_triples(reader())
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = spark.read.parquet(sink).toPandas()
+
+    from uk_ner_presidio_demo_spark.operators.detect import (
+        detect_turns, mentions_from_turns,
+    )
+    from uk_ner_presidio_demo_spark.operators.triples import emit_triples
+    from uk_ner_presidio_demo_spark.sources.tables import read_transcripts
+
+    tr = read_transcripts(spark, sf001)
+    batch = emit_triples(
+        tr, mentions_from_turns(detect_turns(tr, with_anonymized=False))
+    ).toPandas()
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got_rows = list(map(tuple, got[key].itertuples(index=False)))
+    batch_set = set(map(tuple, batch[key].itertuples(index=False)))
+    assert len(got_rows) == len(set(got_rows)), (
+        "restart duplicated rows across the checkpoint boundary"
+    )
+    assert set(got_rows) == batch_set
+    # the restart genuinely continued (run 1 did not consume everything)
+    assert batches_run1 < n_files
