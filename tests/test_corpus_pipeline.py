@@ -103,3 +103,31 @@ def test_partial_resume_after_loss(spark, sf01, run_dirs, first_run):
     status = {r.stage: r.skipped for r in pipe3.results}
     assert status["clean"] and status["decontaminate"]
     assert not status["pack"] and not status["pack_stats"]
+
+
+def test_bpe_pack_flag_budgets_on_trained_counts(spark, sf01,
+                                                 tmp_path_factory):
+    """bpe_pack=True (r6): the pack stage trains merges on the scrubbed
+    corpus and budgets on the TRAINED token counts — every pack row's
+    n_tokens must equal the trained encoder's count of that doc's
+    scrubbed text."""
+    from uk_ner_presidio_demo_spark.operators.bpe import bpe_train
+    from uk_ner_presidio_demo_spark.semantics.bpe import encode_text
+
+    base = tmp_path_factory.mktemp("corpusrun_bpe")
+    pipe = CorpusPipeline(
+        spark=spark, sf_dir=sf01, checkpoint_dir=str(base / "ckpt"),
+        out_dir=str(base / "out"), bpe_pack=True,
+    )
+    tables = pipe.run()
+    scrubbed = tables["scrubbed"].select("doc_id", "text").toPandas()
+    merges = bpe_train(tables["scrubbed"].select("doc_id", "text"))
+    cache: dict = {}
+    want = {
+        int(r.doc_id): len(encode_text(r.text, merges, _cache=cache))
+        for r in scrubbed.itertuples(index=False)
+    }
+    packs = tables["packs"].toPandas()
+    assert len(packs) == len(want)
+    for r in packs.itertuples(index=False):
+        assert int(r.n_tokens) == want[int(r.doc_id)]

@@ -84,3 +84,39 @@ def test_budget_respected_and_stats(spark, sf01):
     assert (normal["fill_ratio"] <= 1.0).all()
     over = stats[stats["has_oversize"]]
     assert (over["n_docs"] == 1).all()  # oversize docs pack alone
+
+
+def test_trained_bpe_packing_matches_python_oracle(spark, sf01):
+    """merges=[...] (r6): pack budgets count the TRAINED tokenizer's
+    tokens.  The Spark output must exactly match the single-process twin
+    (ws_tokens counts -> deterministic trainer -> encode_text counts ->
+    the same greedy rule), and the trained counts must differ from the
+    whitespace counts somewhere (the flag changes real behavior)."""
+    from uk_ner_presidio_demo_spark.operators.bpe import bpe_train
+    from uk_ner_presidio_demo_spark.semantics.bpe import encode_text
+    from uk_ner_presidio_demo_spark.semantics.sparkhash import (
+        pmod, xxhash64_long,
+    )
+
+    docs = read_tpch(spark, sf01, "documents")
+    merges = bpe_train(docs, n_merges=32, max_words=2000)
+    assert merges
+    got = pack_documents(docs, budget_tokens=BUDGET, n_buckets=N_BUCKETS,
+                         merges=merges).toPandas()
+
+    pdf = pd.read_parquet(f"{sf01}/documents.parquet")[["doc_id", "text"]]
+    cache: dict = {}
+    pdf["n_tokens"] = pdf["text"].map(
+        lambda t: len(encode_text(t, merges, _cache=cache))
+    )
+    pdf["bucket"] = pdf["doc_id"].map(
+        lambda d: pmod(xxhash64_long(int(d)), N_BUCKETS)
+    )
+    expected = _oracle(pdf)
+    key = ["pack_id", "doc_id", "n_tokens", "pack_pos", "oversize"]
+    assert set(map(tuple, got[key].itertuples(index=False))) == expected
+    ws = pack_documents(docs, budget_tokens=BUDGET,
+                        n_buckets=N_BUCKETS).toPandas()
+    assert not ws.set_index("doc_id")["n_tokens"].sort_index().equals(
+        got.set_index("doc_id")["n_tokens"].sort_index()
+    )

@@ -41,24 +41,43 @@ PACK_SCHEMA = T.StructType(
 
 def pack_documents(docs: DataFrame, budget_tokens: int = 2048,
                    n_buckets: int | None = None,
-                   bpe: bool = False) -> DataFrame:
+                   bpe: bool = False,
+                   merges: "list[tuple[str, str]] | None" = None
+                   ) -> DataFrame:
     """(pack_id, doc_id, n_tokens, pack_pos, oversize): greedy first-fit
     packing of docs into <= budget_tokens packs, deterministic per
-    (n_buckets, budget) regardless of physical partitioning."""
+    (n_buckets, budget) regardless of physical partitioning.
+
+    Token counter (what the budget measures): the whitespace tokenizer by
+    default; `bpe=True` the regex BPE-ish approximation; `merges=[...]`
+    (r6, VERDICT r5 #8) the TRAINED tokenizer — pack budgets then count
+    exactly what the training run will consume (operators/bpe.py
+    bpe_token_counts, one Arrow crossing replacing the Catalyst count).
+    The packing kernel itself is identical for all three."""
     spark = docs.sparkSession
     if n_buckets is None:
         n_buckets = max(8, spark.sparkContext.defaultParallelism * 2)
-    if bpe:
-        n_tok = F.size(F.regexp_extract_all("text",
-                                            F.lit(BPE_TOKEN_PATTERN), 0))
+    bucket_col = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)) \
+        .cast("int").alias("bucket")
+    if merges is not None:
+        from .bpe import bpe_token_counts
+
+        counted = bpe_token_counts(docs, merges).select(
+            "doc_id",
+            F.col("n_bpe_tokens").cast("long").alias("n_tokens"),
+            bucket_col,
+        )
     else:
-        n_tok = F.size(F.split(F.trim("text"), r"\s+"))
-    counted = docs.select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
-        .alias("bucket"),
-    )
+        if bpe:
+            n_tok = F.size(F.regexp_extract_all("text",
+                                                F.lit(BPE_TOKEN_PATTERN), 0))
+        else:
+            n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+        counted = docs.select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tokens"),
+            bucket_col,
+        )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
