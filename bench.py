@@ -99,6 +99,59 @@ def control_mem_probe(n_words: int = 1 << 20) -> float:
     return best
 
 
+def control_par_probe(n_procs: int, n_texts: int = 1000) -> float:
+    """All-cores hardware-control leg (r6).  The single-process probes are
+    blind to co-tenancy that only bites when every core is busy: this host
+    shows whole minutes where 32-core query walls inflate ~2-2.5x while the
+    single-proc rate is flat (or reads FASTER — observed 17.8k texts/s on a
+    65 s bench run vs 14.5k on a 27 s run of identical code).  n_procs
+    forked workers barrier-start the scalar detection kernel simultaneously
+    and each times only its own compute loop; the aggregate texts/s
+    inherits exactly the per-core slowdown a fully-busy Spark stage sees.
+    bench_regressions.py normalizes by this leg when both files carry it
+    (it matches the condition the query walls actually run under) and
+    falls back to the single-proc leg for older files.  Returns 0.0 (field
+    then omitted) if a worker wedges — fork from a JVM-attached parent is
+    theoretically fragile, and a missing control must degrade the bench
+    line, never hang the driver's round."""
+    import multiprocessing as mp
+    import queue as queue_mod
+
+    from uk_ner_presidio_demo_spark.data.synth import synth_transcripts
+    from uk_ner_presidio_demo_spark.semantics.detect import detect_mentions
+
+    df = synth_transcripts(100)
+    texts = [t for t in df.text
+             if t and t.strip() and len(t) <= 100_000][:n_texts]
+    ctx = mp.get_context("fork")  # children inherit the warm imports
+    barrier = ctx.Barrier(n_procs)
+    out: "mp.queues.Queue" = ctx.Queue()
+
+    def worker() -> None:
+        barrier.wait()
+        t0 = time.time()
+        for t in texts:
+            detect_mentions(t)
+        out.put(len(texts) / (time.time() - t0))
+
+    procs = [ctx.Process(target=worker, daemon=True)
+             for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    rates = []
+    try:
+        for _ in procs:
+            rates.append(out.get(timeout=120))
+    except queue_mod.Empty:
+        for p in procs:
+            p.terminate()
+        return 0.0
+    finally:
+        for p in procs:
+            p.join(timeout=10)
+    return sum(rates)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -161,6 +214,7 @@ def main() -> None:
     # (fastest observed) is the closest estimate of unloaded host speed
     control_before = control_probe()
     mem_before = control_mem_probe()
+    par_before = control_par_probe(cores)
     timings: dict[str, float] = {}
     for name in headline:
         walls = []
@@ -173,6 +227,7 @@ def main() -> None:
     control_after = control_probe()
     control_rate = round(max(control_before, control_after), 1)
     mem_rate = round(max(mem_before, control_mem_probe()), 1)
+    par_rate = round(max(par_before, control_par_probe(cores)), 1)
 
     # turns/sec over the full detection pass (the BASELINE throughput metric)
     from uk_ner_presidio_demo_spark.sources.tables import read_transcripts
@@ -198,6 +253,12 @@ def main() -> None:
                 # kernel shaped like simhash64_batch) — diagnostic only;
                 # normalization still uses the CPU leg
                 "control_mem_mb_per_sec": mem_rate,
+                # all-cores leg (aggregate texts/s over `cores`
+                # barrier-started forked workers) — the leg that actually
+                # tracks busy-host co-tenancy; bench_regressions prefers
+                # it for normalization when both files carry it.  Omitted
+                # (None) if the probe wedged.
+                "control_par_texts_per_sec": par_rate or None,
                 "queries": timings,
                 "sf": sf_key_for_dir(sf_dir),
                 "cores": cores,

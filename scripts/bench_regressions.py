@@ -88,20 +88,40 @@ def main() -> int:
             f"({est_old} -> {est_new}); ratios include the estimator "
             f"delta, not just kernel changes"
         )
-    # host-drift control: when both files carry the single-proc control
-    # probe, divide its ratio out of every per-query ratio (a host running
-    # 20% slower inflates ALL walls ~20%; the control moves with it)
+    # host-drift control: divide the control ratio out of every per-query
+    # ratio (a host running 20% slower inflates ALL walls ~20%; the control
+    # moves with it).  Preference order (r6): the ALL-CORES leg when both
+    # files carry it — the single-proc leg is blind to co-tenancy that only
+    # bites when every core is busy (observed: a 65 s run of code whose
+    # twin run took 27 s, while the single-proc probe read FASTER on the
+    # slow run) — else the single-proc leg for older files.
+    p_old, p_new = old.get("control_par_texts_per_sec"), \
+        new.get("control_par_texts_per_sec")
     c_old, c_new = old.get("control_texts_per_sec"), \
         new.get("control_texts_per_sec")
     # normalize NEW walls to the OLD file's host speed: wall scales
     # inversely with host rate, so t_new_at_old_speed = t_new * c_new/c_old
-    drift = (c_new / c_old) if (c_old and c_new) else None
-    if drift is not None:
+    if p_old and p_new:
+        drift, basis = p_new / p_old, "all-cores"
+        print(
+            f"  hardware control ({basis}): {p_old} -> {p_new} "
+            f"aggregate texts/s (host speed ratio {drift:.3f}; "
+            f"walls normalized)"
+        )
+        if c_old and c_new:
+            print(
+                f"  hardware control (single-proc): {c_old} -> {c_new} "
+                f"texts/s (ratio {c_new / c_old:.3f}; diagnostic — "
+                f"all-cores leg preferred)"
+            )
+    elif c_old and c_new:
+        drift = c_new / c_old
         print(
             f"  hardware control: {c_old} -> {c_new} texts/s "
             f"(host speed ratio {drift:.3f}; walls normalized)"
         )
     else:
+        drift = None
         print(
             "  hardware control: absent in one file — RAW walls compared "
             "(this host drifts ±20% minute-to-minute; treat flags as "

@@ -68,6 +68,30 @@ def test_control_normalization_divides_out_host_drift(tmp_path):
     assert "hardware control" in out and "normalized" in out
 
 
+def test_par_control_preferred_over_single_proc(tmp_path):
+    """r6: when both files carry the all-cores control leg, normalization
+    must use IT — the single-proc leg is blind to busy-host co-tenancy
+    (it read FASTER on a 2.4x-slower run of identical code).  Here the
+    single-proc leg claims no drift while the all-cores leg shows the
+    host at half speed: a uniform 2x wall inflation must NOT flag."""
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({
+        "value": 1.5, "queries": {"q1": 1.0, "q2": 0.5},
+        "estimator": "best_of_2", "control_texts_per_sec": 10000.0,
+        "control_par_texts_per_sec": 200000.0,
+    }))
+    b.write_text(json.dumps({
+        "value": 3.0, "queries": {"q1": 2.0, "q2": 1.0},
+        "estimator": "best_of_2", "control_texts_per_sec": 10000.0,
+        "control_par_texts_per_sec": 100000.0,
+    }))
+    rc, out = _run(a, b)
+    assert rc == 0, out
+    assert "REGRESSION" not in out
+    assert "all-cores" in out and "preferred" in out
+
+
 def test_estimator_note_not_warning_for_prefield_files(tmp_path):
     """A file predating the estimator field must produce a provenance
     NOTE, not a spurious 'estimator changed' warning (VERDICT r3
