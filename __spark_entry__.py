@@ -268,6 +268,29 @@ def _q_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_triples(emit_triples(tr, m), canon).distinct()
 
 
+def _q_kg_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-table MERGE (operators/graph.py): fold a new batch of canonical
+    triples into a standing weighted-edge snapshot — the Iceberg
+    `MERGE INTO kg.edges` shape a continuous deployment runs per
+    micro-batch, expressed as delta rollup + full-outer join.
+
+    The snapshot/batch split is deterministic and engine-portable
+    (first hex digit of md5(conv_id) — identical in Spark and DuckDB), so
+    the oracle replays the same merge in SQL over the golden canonical
+    triples.  The canonical-triples frame feeds BOTH splits, so it is
+    lineage-cut once (CLAUDE.md: two consumers of a mentions-derived frame
+    re-run the detection kernel without it)."""
+    from uk_ner_presidio_demo_spark.operators.graph import (
+        edge_rollup, merge_edge_snapshots,
+    )
+
+    ct = _q_canonical_triples(spark, sf_dir).localCheckpoint(eager=True)
+    is_prev = F.substring(F.md5("conv_id"), 1, 1).isin(*"01234567")
+    prev = edge_rollup(ct.filter(is_prev))
+    delta = edge_rollup(ct.filter(~is_prev))
+    return merge_edge_snapshots(prev, delta)
+
+
 def _q_top_surfaces_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defused twin of kg_top_surfaces: two-phase aggregation with an
     explicit salt on the hot key (F-9 salting; BASELINE 'salting on hot
@@ -1341,12 +1364,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash-agg is the board's lowest-information row; its live SQL oracle
     moved verbatim to tests/test_demoted_queries.py) freeing the slot
     for txt_bpe_counts — the trained-BPE chain end-to-end against the
-    single-process twin golden."""
+    single-process twin golden.
+    Late-r6 rotation: kg_valid_turn_stats demoted (its validity-filter
+    counts are recomputed verbatim by pipeline_stage_rows'
+    validate_metrics/detected_turns legs; live SQL oracle kept in
+    tests/test_demoted_queries.py) for kg_edge_upsert — the MERGE-INTO
+    edge-snapshot maintenance operator."""
     return {
         "kg_mentions": _q_mentions,
         "kg_anonymized": _q_anonymized,
         "kg_entity_type_counts": _q_entity_type_counts,
-        "kg_valid_turn_stats": _q_valid_turn_stats,
+        "kg_edge_upsert": _q_kg_edge_upsert,
         "kg_top_surfaces_salted": _q_top_surfaces_salted,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
         "kg_normalize_text": _q_normalize_text,
@@ -1877,17 +1905,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_turns DESC, ref_a, ref_b
             LIMIT 200
         """,
-        "kg_valid_turn_stats": f"""
-            SELECT role,
-                   count(*) AS n_turns,
-                   CAST(sum(CASE WHEN text IS NOT NULL AND length(text) <= 100000
-                            AND regexp_matches(text, '\\S')
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
-                   CAST(sum(CASE WHEN text IS NOT NULL AND length(text) <= 100000
-                            AND regexp_matches(text, '\\S')
-                       THEN length(text) ELSE 0 END) AS BIGINT) AS valid_chars
-            FROM read_parquet('{tg}')
-            GROUP BY role
+        "kg_edge_upsert": f"""
+            WITH ct AS (
+                SELECT * FROM read_parquet('{gct}')
+            ), prev AS (
+                SELECT subj, pred, obj, count(*) AS n FROM ct
+                WHERE substring(md5(conv_id), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7')
+                GROUP BY 1, 2, 3
+            ), delta AS (
+                SELECT subj, pred, obj, count(*) AS n FROM ct
+                WHERE substring(md5(conv_id), 1, 1)
+                      NOT IN ('0','1','2','3','4','5','6','7')
+                GROUP BY 1, 2, 3
+            )
+            SELECT subj, pred, obj,
+                   CAST(coalesce(p.n, 0) + coalesce(d.n, 0) AS BIGINT)
+                       AS n_obs,
+                   CASE WHEN p.n IS NULL THEN 'inserted'
+                        WHEN d.n IS NULL THEN 'carried'
+                        ELSE 'updated' END AS change_kind
+            FROM prev p FULL OUTER JOIN delta d USING (subj, pred, obj)
         """,
         "tpch_agg": """
             SELECT l_returnflag, l_linestatus,

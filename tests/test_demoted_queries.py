@@ -93,6 +93,28 @@ def test_unit_lang_and_quality_match_fused(spark, sf01):
     "qfn,sql",
     [
         (
+            # demoted late-r6: board slot went to kg_edge_upsert; its
+            # validity-filter counts are recomputed verbatim by
+            # pipeline_stage_rows' validate/detected legs.  SAME live SQL
+            # oracle it held on the board.
+            em._q_valid_turn_stats,
+            f"""
+            SELECT role,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN text IS NOT NULL
+                            AND length(text) <= 100000
+                            AND regexp_matches(text, '\\S')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN text IS NOT NULL
+                            AND length(text) <= 100000
+                            AND regexp_matches(text, '\\S')
+                       THEN length(text) ELSE 0 END) AS BIGINT)
+                       AS valid_chars
+            FROM read_parquet('{em._transcripts_glob()}')
+            GROUP BY role
+            """,
+        ),
+        (
             em._q_events_sessions,
             """
             SELECT event_id, user_id,
