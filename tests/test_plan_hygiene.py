@@ -266,6 +266,18 @@ def test_canonical_triples_runs_detection_once(spark, sf01):
     assert plan.count("FlatMapCoGroupsInPandas") == 1  # the triples cogroup
 
 
+def test_edge_upsert_merge_plan(spark, sf01):
+    """kg_edge_upsert feeds canonical triples to BOTH the snapshot and the
+    delta rollup — the lineage cut must keep every Python stage out of the
+    final plan (same two-consumer invariant as kg_canonical_triples), and
+    the MERGE must be a plain join (no cartesian, no Python verify)."""
+    plan = _plan(em.queries()["kg_edge_upsert"](spark, sf01))
+    assert plan.count("MapInPandas") == 0
+    assert plan.count("FlatMapCoGroupsInPandas") == 0
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_span_excision_plan_hygiene(spark, sf01):
     """Exact-boundary excision (r5): the chunk kernel is cut behind its
     localCheckpoint, leaving exactly TWO Python stages in the final plan
