@@ -25,6 +25,9 @@ from uk_ner_presidio_demo_spark.oracle.reference_oracle import ensure_golden
 from uk_ner_presidio_demo_spark.operators.detect import (
     anonymized_turns, detect_turns, mentions_from_turns,
 )
+from uk_ner_presidio_demo_spark.operators.graph import (
+    pagerank_oracle_sql as _pagerank_oracle,
+)
 from uk_ner_presidio_demo_spark.sources.tables import read_tpch, read_transcripts
 
 SF001 = "/root/testdata/sf0.01"  # the driver's correctness sf
@@ -1316,6 +1319,22 @@ def _q_kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.py:pagerank) over the
+    engine's canonical-triples graph: 8 unrolled iterations, BIGINT
+    micro-unit ranks — bit-identical under any partitioning and in the
+    DuckDB oracle (which replays the same iterations as chained CTEs over
+    the golden canonical triples).  Evidences the full
+    detect->link->CC->rewrite path PLUS the iterative join+agg loop —
+    the standing-graph analytics step that pairs with kg_edge_upsert's
+    MERGE maintenance."""
+    from uk_ner_presidio_demo_spark.operators.graph import pagerank
+
+    ct = _q_canonical_triples(spark, sf_dir)
+    edges = ct.groupBy("subj", "obj").agg(F.count("*").alias("n_obs"))
+    return pagerank(edges, k=8)
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-4 lag window over an event stream: inter-event gap per user."""
     ev = read_tpch(spark, sf_dir, "events")
@@ -1369,7 +1388,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     counts are recomputed verbatim by pipeline_stage_rows'
     validate_metrics/detected_turns legs; live SQL oracle kept in
     tests/test_demoted_queries.py) for kg_edge_upsert — the MERGE-INTO
-    edge-snapshot maintenance operator."""
+    edge-snapshot maintenance operator; kg_degree_distribution demoted
+    (kg_pagerank runs over the same canonical-triples graph and subsumes
+    its structural evidence; live SQL oracle kept in the same mirror)
+    for kg_pagerank — fixed-point integer PageRank, bit-exact vs the
+    unrolled-CTE DuckDB oracle."""
     return {
         "kg_mentions": _q_mentions,
         "kg_anonymized": _q_anonymized,
@@ -1385,7 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_pr": _q_triple_pr,
         "kg_canonical_nodes": _q_canonical_nodes,
         "kg_canonical_triples": _q_canonical_triples,
-        "kg_degree_distribution": _q_kg_degree_distribution,
+        "kg_pagerank": _q_kg_pagerank,
         "txt_bpe_counts": _q_txt_bpe_counts,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_simhash_dups": _q_doc_simhash_dups,
@@ -1828,21 +1851,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
-        "kg_degree_distribution": f"""
-            WITH refs AS (
-                SELECT subj AS ref FROM read_parquet('{gct}')
-                UNION ALL
-                SELECT obj AS ref FROM read_parquet('{gct}')
-            ), deg AS (
-                SELECT ref, count(*) AS degree FROM refs GROUP BY ref
-            )
-            SELECT CASE WHEN ref LIKE 'conv:%' THEN 'conv'
-                        WHEN ref LIKE 'tool:%' THEN 'tool'
-                        ELSE 'entity' END AS ref_kind,
-                   degree,
-                   count(*) AS n_nodes
-            FROM deg GROUP BY 1, 2
-        """,
+        "kg_pagerank": _pagerank_oracle(gct),
         "tpch_union_agg": """
             WITH u AS (
                 SELECT o_orderkey, 'high' AS bucket, o_orderstatus,

@@ -28,6 +28,7 @@ HEADLINE = [
     "kg_top_surfaces",
     "kg_triples",
     "kg_canonical_nodes",
+    "kg_pagerank",
     "doc_neardup_minhash",
     "doc_simhash_dups",
     "doc_contamination",

@@ -1,0 +1,105 @@
+"""Backward as-of join (operators/asof.py): tie/no-match semantics, the
+one-row-per-match struct carry, and parity with DuckDB's NATIVE ASOF LEFT
+JOIN on the events table — an engine-native oracle, not hand-rolled SQL."""
+
+import datetime as dt
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from uk_ner_presidio_demo_spark.operators.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _t(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _t(5)), (2, "u", _t(10)), (3, "u", _t(1)), (4, "w", _t(7)),
+         (5, "u", _t(3))],
+        "lid long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u", _t(2), 1.5),
+            (101, "u", _t(5), 2.5),   # tie with lid=1 -> inclusive match
+            (102, "u", _t(5), None),  # same (key, ts): max rid wins
+            (103, "v", _t(0), 9.9),   # other key, never matches
+        ],
+        "rid long, user string, ts timestamp, score double",
+    )
+    return left, right
+
+
+def test_backward_inclusive_semantics(frames):
+    left, right = frames
+    got = {
+        r.lid: (r.asof_rid, r.asof_score)
+        for r in asof_join(
+            left, right, "user", "ts", ["rid", "score"], pick="rid"
+        ).collect()
+    }
+    assert got == {
+        1: (102, None),  # tie at t=5 matches; max-rid dedupe picked 102,
+                         # and its NULL score must NOT stitch 101's 2.5
+        2: (102, None),  # latest right at-or-before t=10 is still t=5
+        3: (None, None),  # t=1 precedes every 'u' right row -> no
+                          # backward match (never the FUTURE t=2 row)
+        4: (None, None),  # key 'w' has no right rows -> left join NULLs
+        5: (100, 1.5),  # plain backward match: latest at-or-before t=3
+    }
+
+
+def test_left_rows_and_columns_preserved(frames):
+    left, right = frames
+    out = asof_join(left, right, "user", "ts", ["rid"], pick="rid")
+    assert out.count() == left.count()
+    assert out.columns == ["lid", "user", "ts", "asof_rid"]
+
+
+def test_duckdb_native_asof_parity(spark, sf01):
+    """clicks ASOF LEFT JOIN views per user on real events data — the
+    Spark union+window form must equal DuckDB's built-in ASOF JOIN."""
+    ev = spark.read.parquet(f"{sf01}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+    )
+    got = (
+        asof_join(clicks, views, "user_id", "ts", ["view_id", "value"],
+                  pick="view_id")
+        .select("event_id", "asof_view_id", "asof_value")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.execute(f"""
+        WITH ev AS (SELECT * FROM read_parquet('{sf01}/events.parquet')),
+        views AS (
+            SELECT user_id, ts, event_id AS view_id, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC
+                ) AS rn FROM ev WHERE event_type = 'view'
+            ) WHERE rn = 1
+        )
+        SELECT c.event_id, v.view_id AS asof_view_id,
+               v.value AS asof_value
+        FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id
+    """).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["event_id"].values == want["event_id"].values).all()
+    # ids exact; value passes through unchanged (no arithmetic) -> exact
+    g_ids = got["asof_view_id"].astype("float").values
+    w_ids = want["asof_view_id"].astype("float").values
+    assert ((g_ids == w_ids) | ((g_ids != g_ids) & (w_ids != w_ids))).all()
+    g_val = got["asof_value"].values
+    w_val = want["asof_value"].values
+    assert ((g_val == w_val) | ((g_val != g_val) & (w_val != w_val))).all()

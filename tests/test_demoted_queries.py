@@ -93,6 +93,30 @@ def test_unit_lang_and_quality_match_fused(spark, sf01):
     "qfn,sql",
     [
         (
+            # demoted late-r6: board slot went to kg_pagerank (which runs
+            # over the same canonical-triples graph and subsumes the
+            # structural evidence).  SAME live SQL oracle it held on the
+            # board.
+            em._q_kg_degree_distribution,
+            f"""
+            WITH refs AS (
+                SELECT subj AS ref
+                FROM read_parquet('{em._golden("golden_canonical_triples")}')
+                UNION ALL
+                SELECT obj AS ref
+                FROM read_parquet('{em._golden("golden_canonical_triples")}')
+            ), deg AS (
+                SELECT ref, count(*) AS degree FROM refs GROUP BY ref
+            )
+            SELECT CASE WHEN ref LIKE 'conv:%' THEN 'conv'
+                        WHEN ref LIKE 'tool:%' THEN 'tool'
+                        ELSE 'entity' END AS ref_kind,
+                   degree,
+                   count(*) AS n_nodes
+            FROM deg GROUP BY 1, 2
+            """,
+        ),
+        (
             # demoted late-r6: board slot went to kg_edge_upsert; its
             # validity-filter counts are recomputed verbatim by
             # pipeline_stage_rows' validate/detected legs.  SAME live SQL

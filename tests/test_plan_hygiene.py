@@ -278,6 +278,18 @@ def test_edge_upsert_merge_plan(spark, sf01):
     assert "BatchEvalPython" not in plan
 
 
+def test_pagerank_iteration_plan(spark, sf01):
+    """kg_pagerank's returned frame is the LAST iteration over
+    checkpointed inputs: one join + one left join + integer arithmetic —
+    no Python stage, no cartesian, and the KG detection kernel must be
+    entirely behind the edge checkpoint (runs once at construction)."""
+    plan = _plan(em.queries()["kg_pagerank"](spark, sf01))
+    assert plan.count("MapInPandas") == 0
+    assert plan.count("FlatMapCoGroupsInPandas") == 0
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_span_excision_plan_hygiene(spark, sf01):
     """Exact-boundary excision (r5): the chunk kernel is cut behind its
     localCheckpoint, leaving exactly TWO Python stages in the final plan

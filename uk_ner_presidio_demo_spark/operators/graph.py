@@ -72,3 +72,203 @@ def merge_edge_snapshots(prev: DataFrame, delta: DataFrame) -> DataFrame:
         ).alias("n_obs"),
         change.alias("change_kind"),
     )
+
+
+# --- PageRank over the standing edge table -------------------------------
+#
+# FIXED-POINT INTEGER PageRank: ranks are BIGINT micro-units of
+# PR_SCALE, every per-iteration expression is integer multiply /
+# floor-divide / sum.  Integer sums are associative and commutative
+# EXACTLY, so the result is bit-identical under any partitioning,
+# any parallelism, and in any engine (the DuckDB oracle replays the
+# same unrolled iterations in SQL) — no float-accumulation-order
+# caveat anywhere (CLAUDE.md floats invariant).
+#
+# Semantics (weighted, directed, damping 85/100, no dangling
+# redistribution — dangling mass decays, documented below):
+#   r_0(v)      = PR_SCALE div N
+#   damp(u)     = (r_i(u) * 85) div 100
+#   contrib(u->v, w) = (damp div out_w(u)) * w
+#                    + ((damp % out_w(u)) * w) div out_w(u)
+#     [ == floor(damp * w / out_w) exactly, but the two-term form
+#       bounds intermediates by out_w^2 instead of damp*w — safe for
+#       weighted out-degrees up to ~3e9 at PR_SCALE=1e12 ]
+#   r_{i+1}(v)  = (PR_SCALE * 15) div (100 * N) + sum contrib(.->v)
+#
+# Scale shape (100 TB): the per-iteration cost is one join of the
+# edge table with the rank vector on src plus one groupBy(dst) sum —
+# the canonical distributed PageRank step.  K is fixed (bounded work);
+# each iteration is cut with localCheckpoint like the CC loop
+# (operators/canonicalize.py) so lineage stays O(1); the only driver
+# scalar is N (one count, same gating shape as CC).  Hub skew on the
+# dst sum is absorbed by partial aggregation (sum is algebraic — the
+# same argument as the CC min-label groupBy, SCALE.md §7b).
+
+PR_SCALE = 10**12
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+
+
+def pagerank(edges: DataFrame, k: int = 8) -> DataFrame:
+    """Weighted directed PageRank over (subj, obj, n_obs) edges;
+    returns (node, rank_fp) with rank_fp in BIGINT PR_SCALE units.
+
+    Multi-edges must be pre-aggregated (edge_rollup then a pred
+    collapse, or any (src, dst, weight) frame).  k fixed iterations;
+    dangling-node mass decays (no redistribution) — deterministic and
+    engine-portable, and rank ORDER is unaffected (every node loses
+    the same global dangling share)."""
+    # edges feeds THREE consumers (nodes, out_w, the join) — cut once so
+    # any expensive upstream (the KG detection kernel) runs exactly once
+    # (CLAUDE.md two-consumer invariant).
+    edges = edges.select(
+        "subj", "obj", F.col("n_obs").cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .union(edges.select(F.col("obj").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    out_w = edges.groupBy("subj").agg(F.sum("w").alias("out_w"))
+    ed = edges.join(out_w, "subj").localCheckpoint(eager=True)
+
+    # cast: a Python int small enough for int32 becomes an IntegerType
+    # literal, and ANSI-mode int32 `rank_fp * 85` overflows at 2^31 —
+    # ranks must be BIGINT end-to-end
+    ranks = nodes.withColumn("rank_fp", F.lit(PR_SCALE // n).cast("long"))
+    damp = F.expr(f"rank_fp * {PR_DAMP_NUM} div {PR_DAMP_DEN}")
+    contrib = F.expr(
+        "(_damp div out_w) * w + ((_damp % out_w) * w) div out_w"
+    )
+    for i in range(k):
+        in_mass = (
+            ed.join(ranks, ed.subj == ranks.node)
+            .withColumn("_damp", damp)
+            .select(F.col("obj").alias("node"), contrib.alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(in_mass, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.coalesce("in_mass", F.lit(0).cast("long"))
+            ).alias("rank_fp"),
+        )
+        # cut lineage between iterations (the CC-loop pattern) — but leave
+        # the LAST iteration lazy so the caller composes/inspects the real
+        # iteration plan instead of a checkpoint scan
+        if i < k - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_oracle_sql(ct_parquet: str, k: int = 8) -> str:
+    """The DuckDB twin: the SAME k unrolled fixed-point iterations over
+    the canonical-triples parquet, generated as chained CTEs (DuckDB's
+    recursive CTEs disallow aggregates in the recursive term, and an
+    unrolled chain is also closer to 'what the engine executed').
+    `//` and `%` on DuckDB BIGINTs match Spark's `div`/`%` exactly on
+    the non-negative operands used here."""
+    its = []
+    prev = "r0"
+    for i in range(1, k + 1):
+        its.append(f"""it{i} AS (
+            SELECT n.node,
+                   (SELECT ({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM})
+                           // ({PR_DAMP_DEN} * count(*)) FROM nodes)
+                   + coalesce(m.in_mass, 0) AS rank_fp
+            FROM nodes n LEFT JOIN (
+                SELECT e.obj AS node,
+                       sum((((r.rank_fp * {PR_DAMP_NUM}) // {PR_DAMP_DEN})
+                            // o.out_w) * e.w
+                           + ((((r.rank_fp * {PR_DAMP_NUM}) // {PR_DAMP_DEN})
+                               % o.out_w) * e.w) // o.out_w) AS in_mass
+                FROM e
+                JOIN {prev} r ON e.subj = r.node
+                JOIN outw o ON e.subj = o.subj
+                GROUP BY e.obj) m ON n.node = m.node
+        )"""
+        )
+        prev = f"it{i}"
+    return f"""
+        WITH e AS (
+            SELECT subj, obj, CAST(count(*) AS BIGINT) AS w
+            FROM read_parquet('{ct_parquet}') GROUP BY 1, 2
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT subj AS node FROM e
+                UNION ALL SELECT obj AS node FROM e
+            )
+        ), outw AS (
+            SELECT subj, sum(w) AS out_w FROM e GROUP BY subj
+        ), r0 AS (
+            SELECT node,
+                   (SELECT {PR_SCALE} // count(*) FROM nodes) AS rank_fp
+            FROM nodes
+        ), {', '.join(its)}
+        SELECT node, rank_fp FROM {prev}
+    """
+
+
+# --- Triangle counting over the undirected KG ----------------------------
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph underlying a
+    (subj, obj) edge frame; returns one row
+    (n_nodes, n_edges, n_triangles).
+
+    Scale shape: the classic two-join triangle enumeration is made
+    skew-safe by DEGREE ORIENTATION — every undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, so each
+    wedge-join key is a node's OUT-degree in the oriented graph, which is
+    O(sqrt(|E|)) even for hubs (a node of degree d contributes
+    min(d, sqrt-ish) wedges instead of d^2; the standard
+    Suri-Vassilvitskii / Cohen MR-triangle argument).  Hub nodes that
+    would explode a naive a-b-c join are exactly the ones oriented
+    INWARD."""
+    und = (
+        edges.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("u"),
+            F.greatest("subj", "obj").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient: lower (deg, node) -> higher (deg, node); total order, so
+    # the oriented graph is acyclic and each triangle is counted ONCE
+    d_u = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du")
+    d_v = deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv")
+    ed = und.join(d_u, "u").join(d_v, "v")
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    ori = ed.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    # wedges around the low-degree apex, closed by an oriented edge
+    a = ori.select(F.col("src").alias("apex"), F.col("dst").alias("b"))
+    b = ori.select(F.col("src").alias("apex"), F.col("dst").alias("c"))
+    wedges = a.join(b, "apex").filter(F.col("b") < F.col("c"))
+    closing = ori.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    ).distinct()
+    tri = wedges.join(closing, ["b", "c"]).count()
+    n_nodes = deg.count()
+    n_edges = und.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, tri)],
+        "n_nodes long, n_edges long, n_triangles long",
+    )
