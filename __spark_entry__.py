@@ -28,6 +28,7 @@ from uk_ner_presidio_demo_spark.operators.detect import (
 from uk_ner_presidio_demo_spark.operators.graph import (
     pagerank_oracle_sql as _pagerank_oracle,
 )
+from uk_ner_presidio_demo_spark.semantics.lm import LM_KEEP_MIN_AVG_FP
 from uk_ner_presidio_demo_spark.sources.tables import read_tpch, read_transcripts
 
 SF001 = "/root/testdata/sf0.01"  # the driver's correctness sf
@@ -595,6 +596,20 @@ def _q_txt_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )
+
+
+def _q_txt_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point bigram-LM corpus-typicality scoring (late-r6 board
+    row; operators/lm.py): per-doc summed micro-nat log-prob under the
+    corpus's own bigram counts + integer keep flag.  The oracle is a
+    LIVE DuckDB recompute of tokens -> bigrams -> counts -> score; the
+    only shared-as-data piece is the ilog lookup (golden_lm_ilog,
+    generated by the independent Python twin in oracle/docs_golden.py
+    — semantics/lm.py explains why that is the right seam: the lookup
+    is pure math keyed by count VALUE, bounded by sqrt(2N))."""
+    from uk_ner_presidio_demo_spark.operators.lm import lm_score_docs
+
+    return lm_score_docs(read_tpch(spark, sf_dir, "documents"))
 
 
 def _q_doc_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,6 +1350,38 @@ def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, k=8)
 
 
+def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the undirected canonical-triples graph
+    (operators/graph.py triangle_count — degree-oriented wedge join,
+    the Suri-Vassilvitskii MR-triangle shape, so hub keys are bounded
+    by oriented out-degree).  Input is the ENGINE's canonical-triples
+    plan; the oracle counts triangles over the hash-identical golden
+    parquet with an independent three-way normalized-edge self-join."""
+    from uk_ner_presidio_demo_spark.operators.graph import triangle_count
+
+    ct = _q_canonical_triples(spark, sf_dir)
+    return triangle_count(ct.select("subj", "obj"))
+
+
+def _q_events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py — the union+window form,
+    one shuffle, no range explosion): every click attributed to the
+    latest at-or-before view of the same user.  The oracle is DuckDB's
+    NATIVE `ASOF LEFT JOIN` — a first-class engine-native oracle, with
+    the same documented (key, ts) right-side dedupe (max view_id)."""
+    from uk_ner_presidio_demo_spark.operators.asof import asof_join
+
+    ev = read_tpch(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+    )
+    return asof_join(
+        clicks, views, "user_id", "ts", ["view_id", "value"],
+        pick="view_id",
+    ).select("event_id", "user_id", "asof_view_id", "asof_value")
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-4 lag window over an event stream: inter-event gap per user."""
     ev = read_tpch(spark, sf_dir, "events")
@@ -1392,7 +1439,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (kg_pagerank runs over the same canonical-triples graph and subsumes
     its structural evidence; live SQL oracle kept in the same mirror)
     for kg_pagerank — fixed-point integer PageRank, bit-exact vs the
-    unrolled-CTE DuckDB oracle."""
+    unrolled-CTE DuckDB oracle.
+    Final late-r6 rotation: three TPC-H rows whose operator evidence is
+    duplicated elsewhere on the board demoted with their live SQL
+    oracles kept verbatim in tests/test_demoted_queries.py —
+    tpch_union_agg (U-1/A-6 evidence stays via kg_mentions' recognizer
+    fusion + txt_quality), tpch_rollup_agg (A-6 conditional/multi-level
+    agg stays via txt_quality; the Expand shape keeps its mirror), and
+    tpch_shipping_priority (join+agg+topk decomposes into
+    tpch_broadcast_join + tpch_agg + tpch_window_topk evidence) — for
+    txt_lm_score (fixed-point bigram-LM corpus-typicality filter, live
+    DuckDB oracle), events_asof_view (backward as-of join vs DuckDB's
+    NATIVE ASOF LEFT JOIN), and kg_triangles (degree-oriented triangle
+    census vs an independent three-way self-join oracle)."""
     return {
         "kg_mentions": _q_mentions,
         "kg_anonymized": _q_anonymized,
@@ -1409,7 +1468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_nodes": _q_canonical_nodes,
         "kg_canonical_triples": _q_canonical_triples,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "txt_bpe_counts": _q_txt_bpe_counts,
+        "txt_lm_score": _q_txt_lm_score,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_simhash_dups": _q_doc_simhash_dups,
         "doc_dedup_apply": _q_doc_dedup_apply,
@@ -1440,9 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_broadcast_join": _q_tpch_broadcast_join,
         "tpch_semi_anti_join": _q_tpch_semi_anti_join,
         "tpch_window_topk": _q_tpch_window_topk,
-        "tpch_union_agg": _q_tpch_union_agg,
-        "tpch_shipping_priority": _q_tpch_shipping_priority,
-        "tpch_rollup_agg": _q_tpch_rollup_agg,
+        "events_asof_view": _q_events_asof_view,
         "events_sessionize": _q_events_sessionize,
     }
 
@@ -1831,43 +1890,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, subj, pred, obj
             FROM read_parquet('{gt}')
         """,
-        "tpch_shipping_priority": """
-            SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < TIMESTAMP '1995-03-15'
-              AND l_shipdate > TIMESTAMP '1995-03-15'
-            GROUP BY l_orderkey, o_orderdate, o_orderpriority
-            ORDER BY revenue DESC, l_orderkey
-            LIMIT 20
-        """,
-        "tpch_rollup_agg": """
-            SELECT l_returnflag, l_linestatus,
-                   count(*) AS n_items,
-                   round(sum(l_quantity), 2) AS sum_qty
-            FROM lineitem
-            GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        """,
         "kg_pagerank": _pagerank_oracle(gct),
-        "tpch_union_agg": """
-            WITH u AS (
-                SELECT o_orderkey, 'high' AS bucket, o_orderstatus,
-                       o_totalprice
-                FROM orders WHERE o_totalprice > 250000.0
-                UNION ALL
-                SELECT o_orderkey, 'urgent' AS bucket, o_orderstatus,
-                       o_totalprice
-                FROM orders WHERE o_orderpriority = '1-URGENT'
+        "kg_triangles": f"""
+            WITH e AS (
+                SELECT DISTINCT least(subj, obj) AS u,
+                                greatest(subj, obj) AS v
+                FROM read_parquet('{gct}') WHERE subj <> obj
             )
-            SELECT bucket, o_orderstatus,
-                   count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_value,
-                   CAST(sum(CASE WHEN o_totalprice > 300000.0
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_jumbo
-            FROM u GROUP BY bucket, o_orderstatus
+            SELECT (SELECT count(*) FROM (
+                        SELECT u AS node FROM e UNION SELECT v FROM e
+                    )) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*)
+                    FROM e e1
+                    JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+                   ) AS n_triangles
+        """,
+        "events_asof_view": """
+            WITH views AS (
+                SELECT user_id, ts, event_id AS view_id, value FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id, ts ORDER BY event_id DESC
+                    ) AS rn FROM events WHERE event_type = 'view'
+                ) WHERE rn = 1
+            )
+            SELECT c.event_id, c.user_id, v.view_id AS asof_view_id,
+                   v.value AS asof_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "txt_lm_score": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               text, '[ \t\n\x0B\f\r]+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(toks[1:len(toks)-1]) AS w1,
+                       unnest(toks[2:len(toks)]) AS w2
+                FROM tok WHERE len(toks) >= 2
+            ),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+            lp AS (
+                SELECT c2.w1, c2.w2, i2.ilog_fp - i1.ilog_fp AS lp_fp
+                FROM c2
+                JOIN c1 USING (w1)
+                JOIN read_parquet('{dg}/golden_lm_ilog.parquet') i2
+                  ON c2.c2 = i2.k
+                JOIN read_parquet('{dg}/golden_lm_ilog.parquet') i1
+                  ON c1.c1 = i1.k
+            ),
+            sc AS (
+                SELECT doc_id, count(*) AS n_bigrams, sum(lp_fp) AS lp_sum
+                FROM bg JOIN lp USING (w1, w2) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(sc.lp_sum, 0) AS BIGINT) AS lp_sum_fp,
+                   (coalesce(sc.n_bigrams, 0) = 0
+                    OR CAST(coalesce(sc.lp_sum, 0) AS BIGINT)
+                       >= {LM_KEEP_MIN_AVG_FP}
+                          * CAST(coalesce(sc.n_bigrams, 0) AS BIGINT)
+                   ) AS keep
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         """,
         "events_sessionize": """
             SELECT event_id, user_id, gap_sec,

@@ -38,6 +38,7 @@ HEADLINE = [
     "txt_repetition",
     "txt_freq_profile",
     "txt_bpe_counts",
+    "txt_lm_score",
     "doc_pii_scrub",
     "doc_span_excise",
     "ann_topk",

@@ -171,6 +171,65 @@ def test_unit_lang_and_quality_match_fused(spark, sf01):
             """,
         ),
         (
+            # demoted late-r6: board slot went to txt_lm_score; the
+            # U-1/A-6 union+conditional-agg evidence stays on the board
+            # via kg_mentions' recognizer fusion and txt_quality.  SAME
+            # live SQL oracle it held on the board.
+            em._q_tpch_union_agg,
+            """
+            WITH u AS (
+                SELECT o_orderkey, 'high' AS bucket, o_orderstatus,
+                       o_totalprice
+                FROM orders WHERE o_totalprice > 250000.0
+                UNION ALL
+                SELECT o_orderkey, 'urgent' AS bucket, o_orderstatus,
+                       o_totalprice
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            SELECT bucket, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_value,
+                   CAST(sum(CASE WHEN o_totalprice > 300000.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_jumbo
+            FROM u GROUP BY bucket, o_orderstatus
+            """,
+        ),
+        (
+            # demoted late-r6: board slot went to events_asof_view; the
+            # join+agg+topk decomposition stays board-verified via
+            # tpch_broadcast_join + tpch_agg + tpch_window_topk.  SAME
+            # live SQL oracle it held on the board.
+            em._q_tpch_shipping_priority,
+            """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 20
+            """,
+        ),
+        (
+            # demoted late-r6: board slot went to kg_triangles; the
+            # Expand+Aggregate ROLLUP shape keeps this mirror, A-6
+            # conditional aggregation stays board-verified via
+            # txt_quality.  SAME live SQL oracle it held on the board.
+            em._q_tpch_rollup_agg,
+            """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            """,
+        ),
+        (
             # demoted r4: board slot went to doc_pii_scrub; SAME live
             # SQL oracle it held on the board
             em._q_txt_unigram_probs,

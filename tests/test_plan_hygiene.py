@@ -290,6 +290,36 @@ def test_pagerank_iteration_plan(spark, sf01):
     assert "BatchEvalPython" not in plan
 
 
+def test_lm_score_is_pure_catalyst(spark, sf01):
+    """txt_lm_score: two codegen corpus scans + hash aggregates + the
+    broadcast ilog joins — NO Python stage anywhere (the ilog lookup is
+    a driver-built literal frame), no cartesian, and both ilog joins
+    must be explicit broadcasts."""
+    plan = _plan(em.queries()["txt_lm_score"](spark, sf01))
+    assert plan.count("MapInPandas") == 0
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_triangles_and_asof_plan_hygiene(spark, sf01):
+    """kg_triangles: the wedge enumeration is degree-oriented equi-joins
+    over checkpointed frames — no cartesian product (the all-pairs
+    disaster shape), no Python.  events_asof_view: the union+window
+    form — NO range join (a l.ts >= r.ts join would be
+    O(|L|x|R|)/key), exactly one window, no Python."""
+    tri = _plan(em.queries()["kg_triangles"](spark, sf01))
+    assert "CartesianProduct" not in tri
+    assert "BatchEvalPython" not in tri
+    assert tri.count("MapInPandas") == 0
+
+    asof = _plan(em.queries()["events_asof_view"](spark, sf01))
+    assert "CartesianProduct" not in asof
+    assert "BroadcastNestedLoopJoin" not in asof
+    assert "BatchEvalPython" not in asof
+    assert asof.count("MapInPandas") == 0
+
+
 def test_span_excision_plan_hygiene(spark, sf01):
     """Exact-boundary excision (r5): the chunk kernel is cut behind its
     localCheckpoint, leaving exactly TWO Python stages in the final plan

@@ -30,7 +30,10 @@ from ..semantics.docsim import (
 # row) and golden_ann_ivfpq_append (append-then-query fold into
 # ann_ivfpq_query_path: trainers frozen on the base split) — r6,
 # VERDICT r5 #3.
-DOCS_GOLDEN_VERSION = 16
+# v17: + golden_lm_ilog / golden_lm_scores (fixed-point bigram-LM
+# corpus-typicality scoring, late-r6 board row txt_lm_score; the ilog
+# lookup is the shared-as-data transcendental, semantics/lm.py).
+DOCS_GOLDEN_VERSION = 17
 
 # Appended-index driver-row split (engine twin: __spark_entry__
 # _q_ann_ivfpq_query_path): vectors with vec_id % PQ_APPEND_MOD ==
@@ -410,6 +413,30 @@ def ensure_docs_golden(sf_dir: str) -> Path:
     pd.DataFrame(
         bpe_rows, columns=["doc_id", "n_ws_tokens", "n_bpe_tokens"]
     ).to_parquet(out_dir / "golden_bpe_counts.parquet", index=False)
+
+    # --- fixed-point bigram-LM scores (engine twin: operators/lm.py
+    # lm_score_docs; driver oracle: live DuckDB recompute joining the
+    # ilog lookup below — the lookup is the ONLY non-SQL piece, shared
+    # as data per semantics/lm.py) ---
+    from ..semantics.lm import ilog_values, lm_scores
+
+    lm_model: dict[tuple[str, str], int] = {}
+    from ..semantics.lm import doc_bigrams as _doc_bigrams
+
+    for t in texts.values():
+        for bg in _doc_bigrams(t):
+            lm_model[bg] = lm_model.get(bg, 0) + 1
+    pd.DataFrame(
+        sorted(ilog_values(lm_model).items()), columns=["k", "ilog_fp"]
+    ).astype({"k": "int64", "ilog_fp": "int64"}).to_parquet(
+        out_dir / "golden_lm_ilog.parquet", index=False
+    )
+    pd.DataFrame(
+        lm_scores(texts, lm_model),
+        columns=["doc_id", "n_bigrams", "lp_sum_fp", "keep"],
+    ).astype(
+        {"doc_id": "int64", "n_bigrams": "int64", "lp_sum_fp": "int64"}
+    ).to_parquet(out_dir / "golden_lm_scores.parquet", index=False)
 
     # --- ANN + near-dup over the shared numpy kernel ---
     import numpy as np
