@@ -98,15 +98,30 @@ def merge_edge_snapshots(prev: DataFrame, delta: DataFrame) -> DataFrame:
 # Scale shape (100 TB): the per-iteration cost is one join of the
 # edge table with the rank vector on src plus one groupBy(dst) sum —
 # the canonical distributed PageRank step.  K is fixed (bounded work);
-# each iteration is cut with localCheckpoint like the CC loop
-# (operators/canonicalize.py) so lineage stays O(1); the only driver
-# scalar is N (one count, same gating shape as CC).  Hub skew on the
-# dst sum is absorbed by partial aggregation (sum is algebraic — the
-# same argument as the CC min-label groupBy, SCALE.md §7b).
+# lineage is cut every PR_CKPT_EVERY iterations (fixed-k loops don't
+# need the CC loop's per-iteration cuts — see the constant below); the
+# only driver scalar is N (one count, same gating shape as CC).  Hub
+# skew on the dst sum is absorbed by partial aggregation (sum is
+# algebraic — the same argument as the CC min-label groupBy, SCALE.md
+# §7b).
 
 PR_SCALE = 10**12
 PR_DAMP_NUM = 85
 PR_DAMP_DEN = 100
+
+# Lineage-cut cadence: checkpoint every PR_CKPT_EVERY iterations, not
+# every iteration.  A FIXED-k loop doesn't need per-iteration cuts the
+# way the data-dependent CC loop does — uncut, the whole loop is ONE
+# Spark job of k sequential shuffle stages (the natural Pregel shape:
+# no intermediate rank materialization, recovery replays from shuffle
+# files), and each eager cut is a BLOCKING job whose fixed overhead
+# dominates at small graph sizes (measured sf0.01 warm loop wall for
+# k=8: cut-every-1 4.1 s, every-2 2.4 s, every-8 i.e. uncut 1.1 s).
+# The cadence exists only to bound plan DEPTH for large caller-supplied
+# k (Catalyst optimization time grows with plan size).  Cadence is
+# SCHEDULING, not semantics: ranks are integer, so results are
+# bit-identical at any cadence (bit-parity gate in test_pagerank).
+PR_CKPT_EVERY = 8
 
 
 def pagerank(edges: DataFrame, k: int = 8) -> DataFrame:
@@ -158,10 +173,11 @@ def pagerank(edges: DataFrame, k: int = 8) -> DataFrame:
                 + F.coalesce("in_mass", F.lit(0).cast("long"))
             ).alias("rank_fp"),
         )
-        # cut lineage between iterations (the CC-loop pattern) — but leave
-        # the LAST iteration lazy so the caller composes/inspects the real
+        # cut lineage every PR_CKPT_EVERY iterations (the CC-loop
+        # pattern, relaxed — see the constant above) — and leave the
+        # LAST iteration lazy so the caller composes/inspects the real
         # iteration plan instead of a checkpoint scan
-        if i < k - 1:
+        if i < k - 1 and (i + 1) % PR_CKPT_EVERY == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
