@@ -5,6 +5,10 @@ into the flow a real 100-TB data-prep run executes:
     scan documents
       -> profile          (token/char/lang/quality features, scan-local)
       -> clean            (quality AND lang AND near-dup AND repetition)
+      -> [lm_filter]      (opt-in r6: bigram-LM corpus-typicality gate,
+                           self-scored on the cleaned corpus — the
+                           CCNet-family LM step between heuristic gates
+                           and split/dedup; operators/lm.py)
       -> split            (deterministic hash train/eval split)
       -> decontaminate    (drop train docs leaking into the eval slice,
                            exact + MinHash-near levels)
@@ -43,6 +47,7 @@ from pyspark.sql import functions as F
 from ..operators.chunking import excise_duplicate_spans
 from ..operators.contamination import decontaminate
 from ..operators.dedup import clean_corpus
+from ..operators.lm import lm_score_docs
 from ..operators.packing import pack_documents, pack_stats
 from ..operators.sampling import train_eval_split
 from ..operators.scrub import scrub_documents
@@ -66,6 +71,12 @@ class CorpusPipeline(StagedPipeline):
     # whitespace-count goldens stay stable, and the trained counter is a
     # corpus-profile decision like every other flag here.
     bpe_pack: bool = False
+    # r6: bigram-LM corpus-typicality filter (operators/lm.py) — the
+    # CCNet-family LM step between the heuristic clean gates and the
+    # split/dedup stages: self-score the cleaned corpus and drop the
+    # atypical tail (keep = avg bigram log-prob >= LM_KEEP_MIN_AVG_FP).
+    # Off by default for the same golden-stability reason as bpe_pack.
+    lm_filter: bool = False
 
     def run(self) -> dict[str, DataFrame]:
         spark = self.spark
@@ -87,6 +98,21 @@ class CorpusPipeline(StagedPipeline):
         cleaned = docs.join(
             cleaned_ids.select("doc_id"), "doc_id", "left_semi"
         )
+
+        lm_scores_tbl = None
+        if self.lm_filter:
+            # self-scored on the CLEANED corpus (the text the gates kept)
+            # so the model reflects what could actually ship; integer
+            # micro-nat arithmetic, deterministic at any parallelism
+            fp_clean = fp_clean + "|lm"
+            lm_scores_tbl = self._stage(
+                "lm_filter", fp_clean,
+                lambda: lm_score_docs(cleaned).filter(F.col("keep"))
+                .select("doc_id", "n_bigrams", "lp_sum_fp"),
+            )
+            cleaned = cleaned.join(
+                lm_scores_tbl.select("doc_id"), "doc_id", "left_semi"
+            )
 
         fp_split = f"{fp_clean}|eval={self.eval_fraction}"
         split = self._stage(
@@ -157,7 +183,8 @@ class CorpusPipeline(StagedPipeline):
         )
 
         self._write_metrics()
-        return {
+        out = {} if lm_scores_tbl is None else {"lm_kept": lm_scores_tbl}
+        return out | {
             "profile": profile,
             "clean": cleaned_ids,
             "split": split,

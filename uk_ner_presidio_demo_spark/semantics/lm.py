@@ -106,6 +106,18 @@ def lm_scores(
     return out
 
 
+def prune_model(
+    model: dict[tuple[str, str], int], max_bigrams: int
+) -> dict[tuple[str, str], int]:
+    """Keep the `max_bigrams` most frequent bigrams, ties broken by
+    (w1, w2) — the twin of operators/lm.py lm_model_top's
+    (c2 desc, w1, w2) TakeOrdered.  A pruned model is just a smaller
+    external model: out-of-model bigrams drop from sum AND count
+    (lm_scores), identically in every engine."""
+    order = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))
+    return dict(order[: int(max_bigrams)])
+
+
 def ilog_values(model: dict[tuple[str, str], int]) -> dict[int, int]:
     """The lookup table a model needs: every distinct c2 and c1 value
     mapped through ilog_fp (bounded by the sqrt(2N) counting argument

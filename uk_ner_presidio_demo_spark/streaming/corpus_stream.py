@@ -61,6 +61,54 @@ def streaming_contamination_alerts(docs_stream: DataFrame,
     ).select("doc_id", "eval_doc_id")
 
 
+def streaming_lm_filter(docs_stream: DataFrame,
+                        model_rows: list[tuple]) -> DataFrame:
+    """LM-quality gate AT INGEST: score each arriving document against a
+    FROZEN, bounded bigram model and drop the atypical tail.
+    Schema-preserving, stateless — one mapInPandas, no watermark, no
+    state store (the streaming_decontaminate shape, with the model in
+    the task closure instead of a broadcast join side).
+
+    `model_rows` is the [(w1, w2, lp_fp)] slice from
+    operators/lm.py lm_model_top — BOUNDED by construction, trained on
+    a reference corpus by a periodic batch job (self-scoring needs
+    corpus-global counts, which a stream by definition doesn't have;
+    train-on-reference-score-arrivals is the production split, same as
+    exact-gate-now/near-batch-later above).  The kernel sums the
+    model's PRECOMPUTED integer lp_fp values under the frozen
+    tokenizer, with the external-model drop semantics (out-of-model
+    bigrams leave both sum and count) and the zero-scored-bigram keep
+    — tested equal to the counts-path twin
+    (semantics.lm.lm_scores over prune_model), which also cross-checks
+    that lm_model_top's lp values match counts-derived ones."""
+    from ..semantics.bpe import ws_tokens
+    from ..semantics.lm import LM_KEEP_MIN_AVG_FP
+
+    model = {(w1, w2): int(lp) for w1, w2, lp in model_rows}
+    schema = docs_stream.schema
+
+    def gate(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = []
+            for t in pdf["text"]:
+                toks = ws_tokens(t if isinstance(t, str) else "")
+                lp = 0
+                n = 0
+                for bg in zip(toks, toks[1:]):
+                    v = model.get(bg)
+                    if v is not None:
+                        lp += v
+                        n += 1
+                keep.append(n == 0 or lp >= LM_KEEP_MIN_AVG_FP * n)
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    return docs_stream.mapInPandas(gate, schema)
+
+
 def streaming_scrub(docs_stream: DataFrame,
                     strategy: str = "priority") -> DataFrame:
     """PII scrub AT INGEST: the stateless scrub kernel (detect + splice,
