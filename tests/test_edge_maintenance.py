@@ -160,6 +160,37 @@ def test_retention_prunes_old_never_newest(spark, tmp_path):
     assert got["n_obs"].sum() == sum(len(f) for f in FRAMES)
 
 
+def test_stream_snapshot_pagerank_equals_batch(spark, tmp_path):
+    """Continuous graph analytics, closed end to end: build the standing
+    snapshot FROM THE STREAM, then run PageRank over it — integer ranks
+    must be BIT-IDENTICAL to PageRank over a batch rollup of the same
+    input (the maintained table is a first-class analytics input, not
+    just a sink)."""
+    from pyspark.sql import functions as F
+
+    from uk_ner_presidio_demo_spark.operators.graph import pagerank
+
+    src, root = tmp_path / "src", tmp_path / "snap"
+    _write_triple_files(src, FRAMES)
+    final = run_edge_maintenance(
+        _stream(spark, src), root, str(tmp_path / "ck")
+    )
+
+    def _edges(df):
+        return df.groupBy("subj", "obj").agg(F.sum("n_obs").alias("n_obs"))
+
+    snap = spark.read.parquet(str(root / f"v{final}"))
+    batch = edge_rollup(spark.read.parquet(str(src)))
+    pr_stream = {
+        r.node: r.rank_fp for r in pagerank(_edges(snap), k=4).collect()
+    }
+    pr_batch = {
+        r.node: r.rank_fp for r in pagerank(_edges(batch), k=4).collect()
+    }
+    assert pr_stream == pr_batch
+    assert len(pr_stream) > 0
+
+
 def test_latest_snapshot_before_excludes_self(tmp_path):
     root = tmp_path / "snap"
     for v in (0, 2, 5):
