@@ -1305,6 +1305,82 @@ def _q_tpch_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the full dimension snowflake (region -> nation ->
+    customer AND supplier) joined to the fact chain with the LOCAL
+    supplier condition (c_nationkey == s_nationkey) — the multi-way
+    broadcast-dim / streaming-fact star-join plan a 100-TB warehouse
+    wants: every dimension broadcasts, the lineitem scan never shuffles
+    for a dim join.  Pytest-resident coverage row (live DuckDB oracle in
+    tests/test_demoted_queries.py, never on the board): exercises the
+    region/nation/supplier tables the board otherwise leaves cold."""
+    r = read_tpch(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = read_tpch(spark, sf_dir, "nation")
+    c = read_tpch(spark, sf_dir, "customer")
+    s = read_tpch(spark, sf_dir, "supplier")
+    o = read_tpch(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = read_tpch(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def _q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-to-dim broadcast join + conditional
+    aggregate — one ship month's promo revenue share.  The two rounded
+    multi-row sums are the contract-safe outputs (CLAUDE.md floats
+    rule); the pct divides the ALREADY-ROUNDED sums, so both engines
+    divide identical doubles (IEEE division is deterministic).
+    Pytest-resident coverage row: exercises the part table."""
+    p = read_tpch(spark, sf_dir, "part")
+    li = read_tpch(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                2,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (
+                F.lit(100.0)
+                * F.col("promo_revenue")
+                / F.col("total_revenue")
+            ).alias("promo_pct"),
+        )
+    )
+
+
 def _q_kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized KG: per-node degree (subject
     or object of a canonical triple) and the degree histogram shape —

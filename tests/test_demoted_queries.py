@@ -216,6 +216,51 @@ def test_unit_lang_and_quality_match_fused(spark, sf01):
             """,
         ),
         (
+            # pytest-resident coverage row (late r6, never on the
+            # board): TPC-H Q5 snowflake — exercises the otherwise-cold
+            # region/nation/supplier tables through the local-supplier
+            # multi-broadcast star join.
+            em._q_tpch_local_supplier_volume,
+            """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            """,
+        ),
+        (
+            # pytest-resident coverage row (late r6): TPC-H Q14 promo
+            # share — exercises the otherwise-cold part table; the pct
+            # divides the two ROUNDED sums so both engines divide
+            # identical doubles.
+            em._q_tpch_promo_share,
+            """
+            WITH s AS (
+                SELECT round(sum(CASE WHEN p_type = 'ECONOMY'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END), 2) AS promo_revenue,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate <  TIMESTAMP '1996-10-01'
+            )
+            SELECT promo_revenue, total_revenue,
+                   100.0 * promo_revenue / total_revenue AS promo_pct
+            FROM s
+            """,
+        ),
+        (
             # demoted late-r6: board slot went to kg_triangles; the
             # Expand+Aggregate ROLLUP shape keeps this mirror, A-6
             # conditional aggregation stays board-verified via
