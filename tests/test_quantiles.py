@@ -1,0 +1,107 @@
+"""Exact value-histogram quantiles (operators/quantiles.py): sorted-list
+twin equality on adversarial fixed corpora, the DuckDB quantile_disc
+live-parity check, the rank contract under hypothesis, and the
+applicability guard."""
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from uk_ner_presidio_demo_spark.operators.quantiles import (
+    disc_rank, exact_int_quantiles,
+)
+
+QS = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def _twin(values, qs):
+    s = sorted(values)
+    return {float(q): s[disc_rank(q, len(s)) - 1] for q in qs}
+
+
+@given(st.floats(0.0, 1.0), st.integers(1, 10_000))
+@settings(max_examples=300, deadline=None)
+def test_disc_rank_contract(q, n):
+    """rank is 1-indexed, monotone in q, pinned at both ends, and equals
+    the brute 'smallest r with r/n >= q' definition."""
+    r = disc_rank(q, n)
+    assert 1 <= r <= n
+    if q == 0.0:
+        assert r == 1
+    if q == 1.0:
+        assert r == n
+    # smallest rank whose cumulative fraction reaches q
+    assert r / n >= q or math.isclose(r / n, q)
+    if r > 1:
+        assert (r - 1) / n < q
+
+
+@pytest.mark.parametrize("values", [
+    [5],                                     # singleton
+    [3, 1, 2, 4],                            # distinct
+    [1, 1, 1, 1, 1, 9],                      # heavy tie + outlier
+    [7] * 100,                               # one value
+    [-5, -5, 0, 3, 3, 3, 3, 11],             # negatives + ties
+    list(range(50)) + [0] * 200,             # skewed histogram
+])
+def test_matches_sorted_twin(spark, values):
+    df = spark.createDataFrame([(int(v),) for v in values], "x long")
+    got = {
+        float(r.q): int(r.value)
+        for r in exact_int_quantiles(df, "x", QS).collect()
+    }
+    assert got == _twin(values, QS)
+
+
+def test_matches_duckdb_quantile_disc_live(spark, sf001):
+    """Engine vs DuckDB quantile_disc over length(text) of the real
+    corpus — exact integer equality at every q."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    got = {
+        float(r.q): int(r.value)
+        for r in exact_int_quantiles(
+            docs.select(F_length()), "v", QS
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf001}/documents.parquet')"
+    )
+    legs = " UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(length(text), {q}) AS v "
+        "FROM documents"
+        for q in QS
+    )
+    want = {float(q): int(v) for q, v in con.execute(legs).fetchall()}
+    assert got == want
+
+
+def F_length():
+    from pyspark.sql import functions as F
+
+    return F.length("text").alias("v")
+
+
+def test_domain_guard_raises(spark):
+    df = spark.range(100).selectExpr("id AS x")
+    with pytest.raises(ValueError, match="distinct values"):
+        exact_int_quantiles(df, "x", [0.5], max_distinct=10)
+    with pytest.raises(ValueError, match="empty"):
+        exact_int_quantiles(df.filter("x < 0"), "x", [0.5])
+
+
+def test_histogram_stage_is_the_only_corpus_scan(spark, sf001):
+    """The cumulative window runs over the HISTOGRAM behind the
+    localCheckpoint — the final plan must contain no corpus scan and a
+    single-partition window over the bounded frame."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    out = exact_int_quantiles(docs.select(F_length()), "v", QS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()
+    assert "BatchEvalPython" not in plan
