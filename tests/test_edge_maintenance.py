@@ -21,8 +21,8 @@ from uk_ner_presidio_demo_spark.operators.graph import (
     EDGE_KEY, edge_rollup,
 )
 from uk_ner_presidio_demo_spark.streaming.edge_maintenance import (
-    edge_merge_batch_fn, latest_snapshot, run_edge_maintenance,
-    snapshot_versions,
+    edge_merge_batch_fn, latest_snapshot, read_snapshot,
+    run_edge_maintenance, snapshot_versions,
 )
 
 SCHEMA = "subj string, pred string, obj string"
@@ -189,6 +189,28 @@ def test_stream_snapshot_pagerank_equals_batch(spark, tmp_path):
     }
     assert pr_stream == pr_batch
     assert len(pr_stream) > 0
+
+
+def test_read_snapshot_time_travel(spark, tmp_path):
+    """read_snapshot: newest by default; asof_batch pins the newest
+    version <= the id (Iceberg read-at-snapshot-id analog); missing
+    versions raise rather than silently reading something else."""
+    root = tmp_path / "snap"
+    fn = edge_merge_batch_fn(root, keep_versions=10)
+    for k, rows in enumerate(FRAMES):
+        fn(spark.createDataFrame(rows, SCHEMA), k)
+
+    newest = read_snapshot(spark, root).toPandas()
+    assert newest["n_obs"].sum() == sum(len(f) for f in FRAMES)
+    asof0 = read_snapshot(spark, root, asof_batch=0).toPandas()
+    assert asof0["n_obs"].sum() == len(FRAMES[0])
+    # asof between published ids resolves DOWN to the newest <= id
+    asof1 = read_snapshot(spark, root, asof_batch=1).toPandas()
+    assert asof1["n_obs"].sum() == len(FRAMES[0]) + len(FRAMES[1])
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, tmp_path / "nowhere")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, asof_batch=-1)
 
 
 def test_latest_snapshot_before_excludes_self(tmp_path):

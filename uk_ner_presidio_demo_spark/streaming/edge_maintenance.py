@@ -67,6 +67,23 @@ def latest_snapshot(root: Path, before: int | None = None) -> int | None:
     return vs[-1] if vs else None
 
 
+def read_snapshot(spark, root: Path, asof_batch: int | None = None) -> DataFrame:
+    """Read the standing edge table: the newest published version, or —
+    time travel, the Iceberg read-at-snapshot-id analog — the newest
+    version with id <= `asof_batch`.  Only fully-published versions are
+    visible (the tmp-then-rename discipline), so a concurrent writer
+    never exposes a torn read."""
+    vs = snapshot_versions(Path(root))
+    if asof_batch is not None:
+        vs = [v for v in vs if v <= int(asof_batch)]
+    if not vs:
+        raise FileNotFoundError(
+            f"no published snapshot at {root}"
+            + (f" as of batch {asof_batch}" if asof_batch is not None else "")
+        )
+    return spark.read.parquet(str(Path(root) / f"v{vs[-1]}"))
+
+
 def edge_merge_batch_fn(root: Path, keep_versions: int = 3):
     """The foreachBatch callback: fold one triple micro-batch into the
     snapshot.  Safe under replay (see module docstring) and under a
