@@ -79,10 +79,11 @@ def lm_scores(
     """Single-process oracle twin: (doc_id, n_bigrams, lp_sum_fp, keep)
     per document, sorted by doc_id.  `model` optionally supplies
     pre-computed bigram counts (the train-on-A-score-B shape); default
-    is self-scoring (counts from `texts` itself).  Every scored bigram
-    must exist in the model — self-scoring guarantees it; external
-    models must cover the scored corpus (the engine operator enforces
-    the same precondition with an inner join + coverage metric)."""
+    is self-scoring (counts from `texts` itself).  Out-of-model bigrams
+    drop from BOTH the sum and the count (self-scoring never has any;
+    the engine operator realizes the same drop with its inner join) —
+    so n_bigrams is the SCORED count, and a doc with zero in-model
+    bigrams keeps by the zero-bigram rule."""
     if model is None:
         model = {}
         for text in texts.values():
