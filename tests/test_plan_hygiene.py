@@ -300,6 +300,13 @@ def test_lm_score_is_pure_catalyst(spark, sf01):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2
+    # the model table is cut behind its localCheckpoint: the FINAL plan
+    # holds only the scoring bigram scan + the doc_id left-join scan —
+    # without the cut the shared count subtree re-ran the corpus
+    # aggregation four times here (Catalyst does not dedupe subtrees)
+    import re
+
+    assert len(re.findall(r"Scan parquet", plan)) <= 2
 
 
 def test_triangles_and_asof_plan_hygiene(spark, sf01):

@@ -69,10 +69,17 @@ def lm_bigram_model(docs: DataFrame) -> DataFrame:
     corpus's own counts.  lp_fp = ilog_fp(c2) - ilog_fp(c1) <= 0 in
     micro-nats; the ilog lookup is built once on the driver (bounded
     collect, see module docstring) and broadcast-joined."""
+    # The count table feeds FOUR consumers (c1, the distinct-value
+    # collect twice via the union, and the final join) and Catalyst does
+    # NOT dedupe common subtrees — uncut, the corpus bigram aggregation
+    # ran SIX times per query (4 scans in the final plan + 2 in the
+    # collect job, measured).  One eager cut of the already-shrunk model
+    # table leaves exactly two corpus-scale passes: this count build and
+    # the scoring stream (plan-gated in test_plan_hygiene).
     c2 = bigram_stream(docs).groupBy("w1", "w2").agg(
         F.count("*").alias("_c2")
-    )
-    # one aggregate over the (already shrunk) model table, not the corpus
+    ).localCheckpoint(eager=True)
+    # one aggregate over the (already materialized) model table
     c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
     vals = sorted(
         r["v"]
