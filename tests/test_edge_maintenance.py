@@ -148,6 +148,30 @@ def test_torn_tmp_is_invisible_and_cleared(spark, tmp_path):
     assert _snapshot_pdf(spark, root, 0)["n_obs"].sum() == len(FRAMES[0])
 
 
+def test_keep_versions_one_is_rejected(tmp_path):
+    """keep_versions=1 would delete the predecessor a replayed batch
+    needs (the replay would reset the snapshot to its bare delta) —
+    the constructor refuses it."""
+    with pytest.raises(ValueError, match="keep_versions"):
+        edge_merge_batch_fn(tmp_path / "snap", keep_versions=1)
+
+
+def test_replay_after_retention_keeps_history(spark, tmp_path):
+    """The scenario the >=2 guard protects: publish k, retention runs,
+    THEN k replays (crash between sink commit and checkpoint commit) —
+    the replay must still find k's predecessor and reproduce the full
+    fold, not reset to the bare delta."""
+    root = tmp_path / "snap"
+    fn = edge_merge_batch_fn(root, keep_versions=2)
+    for k, rows in enumerate(FRAMES):
+        fn(spark.createDataFrame(rows, SCHEMA), k)
+    # retention has pruned v0; newest two survive
+    assert snapshot_versions(root) == [1, 2]
+    fn(spark.createDataFrame(FRAMES[2], SCHEMA), 2)  # replay last batch
+    got = _snapshot_pdf(spark, root, 2)
+    assert got["n_obs"].sum() == sum(len(f) for f in FRAMES)
+
+
 def test_retention_prunes_old_never_newest(spark, tmp_path):
     root = tmp_path / "snap"
     fn = edge_merge_batch_fn(root, keep_versions=2)

@@ -87,7 +87,19 @@ def read_snapshot(spark, root: Path, asof_batch: int | None = None) -> DataFrame
 def edge_merge_batch_fn(root: Path, keep_versions: int = 3):
     """The foreachBatch callback: fold one triple micro-batch into the
     snapshot.  Safe under replay (see module docstring) and under a
-    torn previous attempt (clears its own tmp/partial target first)."""
+    torn previous attempt (clears its own tmp/partial target first).
+
+    keep_versions must be >= 2: replay-idempotency derives version k
+    from the newest version < k, so retention must always preserve at
+    least one version strictly older than the newest — with
+    keep_versions=1 a replayed batch would find no predecessor and
+    reset the snapshot to its bare delta (data loss)."""
+    if keep_versions < 2:
+        raise ValueError(
+            "keep_versions must be >= 2: a replayed batch folds onto "
+            "the newest version OLDER than itself, which retention "
+            f"would have deleted at keep_versions={keep_versions}"
+        )
     root = Path(root)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
