@@ -88,6 +88,39 @@ def F_length():
     return F.length("text").alias("v")
 
 
+def test_nulls_ignored_like_percentile_disc(spark):
+    """NULLs must not reach the histogram (they'd sort first in the
+    cumulative window and masquerade as the low quantiles); N counts
+    non-null rows only — the SQL PERCENTILE_DISC contract."""
+    import duckdb
+
+    values = [None, None, 1, 2, 3, 4, None]
+    df = spark.createDataFrame([(v,) for v in values], "x long")
+    got = {
+        float(r.q): int(r.value)
+        for r in exact_int_quantiles(df, "x", QS).collect()
+    }
+    assert got == _twin([v for v in values if v is not None], QS)
+    want = {
+        float(q): int(v)
+        for q, v in duckdb.execute(
+            " UNION ALL ".join(
+                f"SELECT {q} AS q, quantile_disc(x, {q}) AS v FROM "
+                "(VALUES (NULL), (NULL), (1), (2), (3), (4), (NULL)) t(x)"
+                for q in QS
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_out_of_range_q_rejected(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    for q in (-0.1, 1.5):
+        with pytest.raises(ValueError, match="outside"):
+            exact_int_quantiles(df, "x", [0.5, q])
+
+
 def test_domain_guard_raises(spark):
     df = spark.range(100).selectExpr("id AS x")
     with pytest.raises(ValueError, match="distinct values"):

@@ -53,11 +53,19 @@ def exact_int_quantiles(
 ) -> DataFrame:
     """(q, value): exact discontinuous quantiles of integer column `col`.
 
-    `qs` must be plain floats in [0, 1]; duplicates are deduped.  Raises
-    if the value domain exceeds `max_distinct` (the method's
-    applicability bound — see module docstring)."""
+    `qs` must be plain floats in [0, 1] (validated — an out-of-range q
+    would otherwise produce a rank past N and silently vanish from the
+    join output); duplicates are deduped.  NULLs are ignored, matching
+    SQL PERCENTILE_DISC / DuckDB quantile_disc (unfiltered they would
+    sort first in the cumulative window and masquerade as the low
+    quantiles).  Raises if the value domain exceeds `max_distinct`
+    (the method's applicability bound — see module docstring)."""
+    bad = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
+    if bad:
+        raise ValueError(f"exact_int_quantiles: qs outside [0, 1]: {bad}")
     hist = (
         df.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count("*").alias("_n"))
         .localCheckpoint(eager=True)  # one corpus scan feeds two reads
