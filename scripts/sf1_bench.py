@@ -38,7 +38,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 REPLICAS = 10
 QUERIES = ["kg_triples", "kg_canonical_nodes", "doc_contamination",
-           "doc_partial_overlap", "ann_ivfpq_topk", "doc_span_excise"]
+           "doc_partial_overlap", "ann_ivfpq_topk", "doc_span_excise",
+           # late-r6 heavy rows: the LM scorer (two corpus scans + model
+           # join) and PageRank (full KG pipeline + the uncut k-stage loop)
+           "txt_lm_score", "kg_pagerank"]
 _SF1_VERSION = 2
 
 

@@ -284,6 +284,26 @@ def test_pipeline_lm_filter_stage(spark, sf001, tmp_path):
     assert split_ids <= want_keep
 
 
+def test_scores_invariant_under_partitioning(spark, sf001):
+    """The fixed-point claim made testable: identical rows at 1 and 17
+    input partitions — integer sums are order-independent, and the ilog
+    lookup is data, so no accumulation-order caveat exists anywhere."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    a = (
+        lm_score_docs(docs.repartition(1))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        lm_score_docs(docs.repartition(17))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_keep_threshold_is_integer_exact(spark):
     """Docs exactly AT the threshold keep (>=), one micro-nat below
     drops — integer comparison, no float boundary."""
