@@ -113,22 +113,25 @@ def main() -> None:
     qmap = em.queries()
     force(qmap["kg_mentions"](spark, "/root/testdata/sf0.001"))  # warm
 
-    def best_of_2(sf_dir: str) -> dict[str, float]:
-        walls = {}
-        for name in QUERIES:
-            w = []
-            for _ in range(2):
-                t0 = time.time()
-                force(qmap[name](spark, sf_dir))
-                w.append(time.time() - t0)
-            walls[name] = round(min(w), 3)
-        return walls
+    def timed(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        force(qmap[name](spark, sf_dir))
+        return time.time() - t0
 
-    # interleave would be better still, but queries are long enough at
-    # sf1 that one (sf0.1, sf1) adjacency per query suffices; both sides
-    # share the warm JVM and the same minutes of host weather
-    w01 = best_of_2("/root/testdata/sf0.1")
-    w1 = best_of_2(sf1_dir)
+    # INTERLEAVED per query (r6): the shared host's co-tenant bursts
+    # last minutes — running all sf0.1 then all sf1 lets one burst
+    # inflate a whole side and scramble every ratio (observed 3x).
+    # (0.1, 1, 0.1, 1) adjacency per query puts both sides of each
+    # ratio in the same minutes; best-of-2 per side drops one-sided
+    # interference.
+    w01, w1 = {}, {}
+    for name in QUERIES:
+        a = [timed(name, "/root/testdata/sf0.1")]
+        b = [timed(name, sf1_dir)]
+        a.append(timed(name, "/root/testdata/sf0.1"))
+        b.append(timed(name, sf1_dir))
+        w01[name] = round(min(a), 3)
+        w1[name] = round(min(b), 3)
 
     n01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").count()
     n1 = spark.read.parquet(f"{sf1_dir}/documents.parquet").count()
