@@ -211,20 +211,25 @@ def main() -> None:
     # materializations) in a single-shot timing; co-tenant interference is
     # strictly one-sided (it can only slow a run).  Best-of-2 therefore
     # measures engine capability — the same estimator BENCH/BASELINE.md
-    # uses for the scaling levels.
+    # uses for the scaling levels.  The two attempts run as two FULL
+    # PASSES over the query set (late r6), not back-to-back: co-tenant
+    # bursts on this box last minutes, so adjacent attempts share the
+    # same burst while pass-separated attempts (~minutes apart) give
+    # each query a second, independently-weathered sample.  (The
+    # ann_ivfpq_query_path cache contract is unchanged: its pass-1 run
+    # trains and encodes, its pass-2 run measures the pure query path.)
     # hardware control sampled on BOTH sides of the timed loop; the max
     # (fastest observed) is the closest estimate of unloaded host speed
     control_before = control_probe()
     mem_before = control_mem_probe()
     par_before = control_par_probe(cores)
-    timings: dict[str, float] = {}
-    for name in headline:
-        walls = []
-        for _ in range(2):
+    walls: dict[str, list[float]] = {name: [] for name in headline}
+    for _pass in range(2):
+        for name in headline:
             t0 = time.time()
             force(qmap[name](spark, sf_dir))
-            walls.append(time.time() - t0)
-        timings[name] = round(min(walls), 3)
+            walls[name].append(time.time() - t0)
+    timings = {name: round(min(w), 3) for name, w in walls.items()}
     total = round(sum(timings.values()), 3)
     control_after = control_probe()
     control_rate = round(max(control_before, control_after), 1)
