@@ -138,19 +138,26 @@ def control_par_probe(n_procs: int, n_texts: int = 1000) -> float:
 
     procs = [ctx.Process(target=worker, daemon=True)
              for _ in range(n_procs)]
-    for p in procs:
-        p.start()
     rates = []
     try:
+        # start() itself can fail (fork EAGAIN/ENOMEM on the busy shared
+        # host) — any failure here must degrade to 0.0, not crash the
+        # bench line the driver's round depends on
+        for p in procs:
+            p.start()
         for _ in procs:
             rates.append(out.get(timeout=120))
-    except queue_mod.Empty:
+    except (queue_mod.Empty, OSError, ValueError):
         for p in procs:
-            p.terminate()
+            try:
+                p.terminate()
+            except Exception:
+                pass
         return 0.0
     finally:
         for p in procs:
-            p.join(timeout=10)
+            if p.pid is not None:
+                p.join(timeout=10)
     return sum(rates)
 
 

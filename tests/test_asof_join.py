@@ -62,6 +62,37 @@ def test_left_rows_and_columns_preserved(frames):
     assert out.columns == ["lid", "user", "ts", "asof_rid"]
 
 
+def test_null_timestamps_never_match(spark):
+    """NULL-ts right rows must never match (DuckDB ASOF `l.ts >= r.ts`
+    is no-match on NULL), and a NULL-ts left row gets NULL attrs —
+    without the right-side filter the NULL-ts right row sorts first in
+    the window and is carried onto early left rows."""
+    left = spark.createDataFrame(
+        [(1, "u", _t(5)), (2, "u", None)],
+        "lid long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "u", None, 1.0), (101, "u", _t(10), 2.0)],
+        "rid long, user string, ts timestamp, score double",
+    )
+    got = {
+        r.lid: (r.asof_rid, r.asof_score)
+        for r in asof_join(
+            left, right, "user", "ts", ["rid", "score"], pick="rid"
+        ).collect()
+    }
+    # lid=1 at t=5 precedes the only real right row (t=10): no match —
+    # the NULL-ts right row must NOT have been carried onto it; lid=2
+    # (NULL left ts) matches nothing.  This is the pandas merge_asof
+    # contract (it refuses NULL keys outright).  DuckDB's NATIVE ASOF is
+    # the one engine that disagrees — its sort-based matcher puts NULLs
+    # last, so NULL-ts probes match NULL-ts builds as an implementation
+    # artifact (verified: the same frames give lid=2 -> rid=100 there).
+    # The driver row's oracle is unaffected: events.ts is non-null, and
+    # the operator's contract documents the NULL rule explicitly.
+    assert got == {1: (None, None), 2: (None, None)}
+
+
 def test_duckdb_native_asof_parity(spark, sf01):
     """clicks ASOF LEFT JOIN views per user on real events data — the
     Spark union+window form must equal DuckDB's built-in ASOF JOIN."""

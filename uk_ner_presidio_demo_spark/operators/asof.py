@@ -45,6 +45,16 @@ def asof_join(
     right_attrs — right columns carried onto matches (NULL if no right
                   row at-or-before), emitted as `asof_<name>`
     """
+    # NULL-timestamp rows never match (the pandas merge_asof contract,
+    # which refuses NULL keys): unfiltered, a NULL-ts right row sorts
+    # FIRST in the window and would be carried onto every left row
+    # preceding the first real right row.  With the filter, a NULL-ts
+    # LEFT row sorts before every right row and correctly gets NULL
+    # attrs.  Known engine divergence, chosen deliberately: DuckDB's
+    # NATIVE ASOF sort-matcher puts NULLs last and matches NULL-ts
+    # probes to NULL-ts builds as an implementation artifact (tested);
+    # the driver oracle's events table has non-null ts.
+    right = right.filter(F.col(ts).isNotNull())
     # deterministic (key, ts) grain on the right: keep the max-`pick` row
     w_pick = Window.partitionBy(key, ts).orderBy(F.desc(pick))
     r1 = (

@@ -226,7 +226,7 @@ def pagerank_oracle_sql(ct_parquet: str, k: int = 8) -> str:
                    (SELECT {PR_SCALE} // count(*) FROM nodes) AS rank_fp
             FROM nodes
         ), {', '.join(its)}
-        SELECT node, rank_fp FROM {prev}
+        SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM {prev}
     """
 
 
@@ -277,9 +277,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     a = ori.select(F.col("src").alias("apex"), F.col("dst").alias("b"))
     b = ori.select(F.col("src").alias("apex"), F.col("dst").alias("c"))
     wedges = a.join(b, "apex").filter(F.col("b") < F.col("c"))
+    # no .distinct(): `und` is already one row per undirected edge and
+    # orientation maps it 1:1 onto `ori`, so (least, greatest) cannot
+    # produce duplicates — a distinct here would be a wasted full
+    # shuffle + aggregate over the entire edge table
     closing = ori.select(
         F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
-    ).distinct()
+    )
     tri = wedges.join(closing, ["b", "c"]).count()
     n_nodes = deg.count()
     n_edges = und.count()

@@ -11,27 +11,37 @@ from pyspark.sql import DataFrame
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
 
-def scan_bytes(df: DataFrame) -> int | None:
-    """Total bytes of the frame's file scan, from metadata only (None
-    when the source is not local files) — the sizing input for
-    data-scaled bucket counts (e.g. the triples cogroup key space),
-    so a 10x corpus gets ~10x group keys instead of 10x-fatter pandas
-    frames."""
+def _local_file_sizes(df: DataFrame) -> list[int] | None:
+    """Per-file byte sizes of the frame's scan, from metadata only.
+    None when the source is not exclusively local files (remote storage,
+    non-file frames, vanished files) — the single shared definition of
+    'sizable from the driver', so the fan-out decision and the
+    bucket-count sizing can never disagree about the same input."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    total = 0
+    sizes = []
     for f in files:
         if not f.startswith("file:"):
             return None
         try:
-            total += os.stat(re.sub(r"^file:/*", "/", f)).st_size
+            sizes.append(os.stat(re.sub(r"^file:/*", "/", f)).st_size)
         except OSError:
             return None
-    return total
+    return sizes
+
+
+def scan_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the frame's file scan, from metadata only (None
+    when the source is not local files) — the sizing input for
+    data-scaled bucket counts (e.g. the triples cogroup key space),
+    so a 10x corpus gets ~10x group keys instead of 10x-fatter pandas
+    frames."""
+    sizes = _local_file_sizes(df)
+    return None if sizes is None else sum(sizes)
 
 
 def fanout(df: DataFrame) -> DataFrame:
@@ -51,11 +61,10 @@ def fanout(df: DataFrame) -> DataFrame:
     are left untouched."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return df
-    if not files or len(files) >= target:
+    sizes = _local_file_sizes(df)
+    if sizes is None or len(sizes) >= target:
+        # unknown/remote source (the reader's own split rules apply) or
+        # already at least one file per core
         return df
     raw = spark.conf.get(
         "spark.sql.files.maxPartitionBytes",
@@ -63,15 +72,7 @@ def fanout(df: DataFrame) -> DataFrame:
     )
     m = re.match(r"(\d+)", str(raw))
     max_bytes = int(m.group(1)) if m else _DEFAULT_MAX_PARTITION_BYTES
-    splits = 0
-    for f in files:
-        if not f.startswith("file:"):
-            return df  # remote storage — the reader's own splits rule
-        try:
-            size = os.stat(re.sub(r"^file:/*", "/", f)).st_size
-        except OSError:
-            return df
-        splits += max(1, math.ceil(size / max_bytes))
-        if splits >= target:
-            return df
+    splits = sum(max(1, math.ceil(s / max_bytes)) for s in sizes)
+    if splits >= target:
+        return df
     return df.repartition(target)

@@ -39,10 +39,22 @@ MAX_DISTINCT_DEFAULT = 1 << 22
 
 
 def disc_rank(q: float, n: int) -> int:
-    """1-indexed discontinuous-quantile rank: max(1, ceil(q*n)) — the
-    PERCENTILE_DISC contract (DuckDB quantile_disc verified: q=0 -> 1st,
-    q=1 -> nth, ties go to the LOWER rank at exact boundaries)."""
-    return max(1, math.ceil(q * n))
+    """1-indexed discontinuous-quantile rank: max(1, ceil(q*n)) with
+    q*n computed in EXACT DECIMAL arithmetic — the PERCENTILE_DISC /
+    DuckDB quantile_disc contract (q=0 -> 1st, q=1 -> nth, exact
+    boundaries take the LOWER rank).
+
+    Raw float ceil is wrong at decimal boundaries: double 0.07 * 100 =
+    7.000000000000001, so math.ceil overshoots to rank 8 where DuckDB
+    (which reads 0.07 as the exact decimal 7/100) returns rank 7.
+    Fraction(str(q)) recovers the decimal the caller wrote (shortest
+    float repr), making the rank exact for every decimal-literal q —
+    verified against quantile_disc on a ~900-case (q, n) grid with
+    zero mismatches, including the float-noise cases."""
+    from fractions import Fraction
+
+    r = -((-Fraction(str(q)) * n) // 1)  # exact ceil
+    return min(n, max(1, int(r)))
 
 
 def exact_int_quantiles(
