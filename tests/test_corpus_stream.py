@@ -111,7 +111,7 @@ def test_streaming_scrub_matches_batch(spark, sf001, tmp_path):
         run_available_now,
     )
 
-    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+    docs = pd.read_parquet(f"{sf001}/documents.parquet")[
         ["doc_id", "text"]
     ].copy()
     # the driver corpus is PII-free Latin word-salad; plant detectable

@@ -111,10 +111,13 @@ def test_checkpoint_resume_folds_only_new_batches(spark, tmp_path):
 
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """The at-least-once contract: a batch that crashed between sink
-    write and checkpoint commit REPLAYS.  Version k must be recomputed
-    from the newest version < k, so running fn(df, k) twice — even with
-    k's own partial output already published — yields identical
-    content and does not double-count."""
+    write and checkpoint commit REPLAYS.  Two replay cases: (a) the
+    publish completed -> short-circuit, the published version is not
+    touched (no vanish window for concurrent readers); (b) the publish
+    never happened -> recompute byte-identical content from the newest
+    version < k."""
+    import shutil
+
     root = tmp_path / "snap"
     fn = edge_merge_batch_fn(root, keep_versions=10)
     df0 = spark.createDataFrame(FRAMES[0], SCHEMA)
@@ -122,13 +125,30 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     fn(df0, 0)
     fn(df1, 1)
     after_first = _snapshot_pdf(spark, root, 1)
-    # replay batch 1 (its own v1 exists — must be ignored as input)
+    # (a) replay with v1 published: short-circuit — directory untouched
+    mtime = (root / "v1").stat().st_mtime_ns
+    fn(df1, 1)
+    assert (root / "v1").stat().st_mtime_ns == mtime
+    pd.testing.assert_frame_equal(after_first, _snapshot_pdf(spark, root, 1))
+    # (b) replay after a crash BEFORE publish: v1 gone, recompute from v0
+    shutil.rmtree(root / "v1")
     fn(df1, 1)
     after_replay = _snapshot_pdf(spark, root, 1)
     pd.testing.assert_frame_equal(after_first, after_replay)
     assert after_replay["n_obs"].sum() == len(FRAMES[0]) + len(FRAMES[1])
-    # v0 untouched by the replay
+    # v0 untouched by either replay
     assert _snapshot_pdf(spark, root, 0)["n_obs"].sum() == len(FRAMES[0])
+
+
+def test_stale_root_fails_fast(spark, tmp_path):
+    """A fresh checkpoint pointed at a root holding HIGHER-numbered
+    versions from a prior run must raise, not silently fork a second
+    chain under readers resolving latest_snapshot to the stale data."""
+    root = tmp_path / "snap"
+    fn = edge_merge_batch_fn(root)
+    fn(spark.createDataFrame(FRAMES[0], SCHEMA), 7)
+    with pytest.raises(ValueError, match="stale root"):
+        fn(spark.createDataFrame(FRAMES[1], SCHEMA), 0)
 
 
 def test_torn_tmp_is_invisible_and_cleared(spark, tmp_path):
@@ -158,15 +178,18 @@ def test_keep_versions_one_is_rejected(tmp_path):
 
 def test_replay_after_retention_keeps_history(spark, tmp_path):
     """The scenario the >=2 guard protects: publish k, retention runs,
-    THEN k replays (crash between sink commit and checkpoint commit) —
-    the replay must still find k's predecessor and reproduce the full
-    fold, not reset to the bare delta."""
+    then k's publish is LOST (crash before rename) and the batch
+    replays — the recompute must still find k's predecessor and
+    reproduce the full fold, not reset to the bare delta."""
+    import shutil
+
     root = tmp_path / "snap"
     fn = edge_merge_batch_fn(root, keep_versions=2)
     for k, rows in enumerate(FRAMES):
         fn(spark.createDataFrame(rows, SCHEMA), k)
     # retention has pruned v0; newest two survive
     assert snapshot_versions(root) == [1, 2]
+    shutil.rmtree(root / "v2")  # crash before v2's publish
     fn(spark.createDataFrame(FRAMES[2], SCHEMA), 2)  # replay last batch
     got = _snapshot_pdf(spark, root, 2)
     assert got["n_obs"].sum() == sum(len(f) for f in FRAMES)

@@ -180,11 +180,16 @@ def test_model_top_matches_twin_prune(spark, sf001):
 def test_streaming_lm_filter_matches_twin(spark, sf001, tmp_path):
     """The ingest gate: stream target docs through streaming_lm_filter
     with a bounded model trained on a reference corpus; survivors must
-    be exactly the twin's keep set under the SAME pruned model, with
-    row contents untouched (schema-preserving filter)."""
+    be exactly the FROZEN-LP twin's keep set under the same pruned key
+    set, with row contents untouched (schema-preserving filter).
+
+    m is chosen to GENUINELY prune (asserted below) — and the test also
+    pins the estimator choice: scoring pruned COUNTS through lm_scores
+    renormalizes c1 and must NOT equal the gate (prune_model's
+    caution)."""
     from uk_ner_presidio_demo_spark.operators.lm import lm_model_top
     from uk_ner_presidio_demo_spark.semantics.lm import (
-        lm_scores, prune_model,
+        frozen_lp_model, lm_scores, lm_scores_frozen, prune_model,
     )
     from uk_ner_presidio_demo_spark.streaming.corpus_stream import (
         streaming_lm_filter,
@@ -199,7 +204,7 @@ def test_streaming_lm_filter_matches_twin(spark, sf001, tmp_path):
     model_df = lm_bigram_model(
         spark.createDataFrame(ref, "doc_id long, text string")
     )
-    m = 2000  # small enough to force out-of-model drops
+    m = 800  # must cut through w1 continuation sets (asserted below)
     rows = lm_model_top(model_df, m)
 
     src = tmp_path / "src"
@@ -230,12 +235,22 @@ def test_streaming_lm_filter_matches_twin(spark, sf001, tmp_path):
     for t in pd.Series(list(dict(ref.values).values())):
         for bg in doc_bigrams(t):
             tmodel[bg] = tmodel.get(bg, 0) + 1
+    assert len(tmodel) > m  # pruning must be REAL, not vacuous
     pruned = prune_model(tmodel, m)
+    lp_frozen = frozen_lp_model(tmodel, pruned.keys())
+    # the gate's rows carry exactly the frozen-lp slice
+    assert {(w1, w2): lp for w1, w2, lp in rows} == lp_frozen
     want_keep = {
-        d for d, _n, _lp, k in lm_scores(texts, pruned) if k
+        d for d, _n, _lp, k in lm_scores_frozen(texts, lp_frozen) if k
     }
     assert set(got["doc_id"]) == want_keep
     assert 0 < len(want_keep) < len(target)  # both branches live
+    # estimator pin: renormalized-c1 scoring (pruned COUNTS through
+    # lm_scores) is a DIFFERENT model and must not silently replace the
+    # frozen-lp gate — at this m the two disagree on lp sums
+    renorm = {d: lp for d, _n, lp, _k in lm_scores(texts, pruned)}
+    frozen = {d: lp for d, _n, lp, _k in lm_scores_frozen(texts, lp_frozen)}
+    assert renorm != frozen
     # schema-preserving: surviving rows byte-equal the input rows
     merged = got.sort_values("doc_id").reset_index(drop=True)
     src_rows = (

@@ -28,9 +28,16 @@ from ..semantics.docsim import DOC_JACCARD_THRESHOLD
 from .dedup import _band_rows, _doc_jaccard_udf
 
 
+def fp_expr():
+    """THE exact-level normalization fingerprint — one definition shared
+    by the batch audit (_fingerprints) and the streaming ingest gate
+    (streaming/corpus_stream.py), so the two levels can never silently
+    diverge on what counts as byte-identical-after-normalization."""
+    return F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+
+
 def _fingerprints(docs: DataFrame) -> DataFrame:
-    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
-    return docs.select("doc_id", fp.alias("fp"))
+    return docs.select("doc_id", fp_expr().alias("fp"))
 
 
 def exact_contamination(train: DataFrame, test: DataFrame) -> DataFrame:

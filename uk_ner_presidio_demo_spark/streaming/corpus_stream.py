@@ -24,23 +24,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.contamination import _fingerprints
+from ..operators.contamination import _fingerprints, fp_expr
 from ..operators.dedup import _band_rows
-
-
-def _fp_expr():
-    return F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
 
 
 def streaming_decontaminate(docs_stream: DataFrame,
                             eval_docs: DataFrame) -> DataFrame:
     """Exact-level ingest gate: drop streamed docs whose normalized
-    fingerprint appears in the static eval suite.  Schema-preserving."""
-    fps = _fingerprints(eval_docs).select("fp").distinct()
+    fingerprint appears in the static eval suite.  Schema-preserving
+    (the join key lives in a collision-proof temp column, so an input
+    that already carries an `fp` column passes through untouched); the
+    fingerprint expression is SHARED with the batch audit
+    (operators/contamination.py fp_expr) by import, not by copy."""
+    fps = _fingerprints(eval_docs).select(
+        F.col("fp").alias("_decon_fp")
+    ).distinct()
     cols = docs_stream.columns
     return (
-        docs_stream.withColumn("fp", _fp_expr())
-        .join(F.broadcast(fps), "fp", "left_anti")
+        docs_stream.withColumn("_decon_fp", fp_expr())
+        .join(F.broadcast(fps), "_decon_fp", "left_anti")
         .select(*cols)
     )
 
@@ -75,12 +77,15 @@ def streaming_lm_filter(docs_stream: DataFrame,
     corpus-global counts, which a stream by definition doesn't have;
     train-on-reference-score-arrivals is the production split, same as
     exact-gate-now/near-batch-later above).  The kernel sums the
-    model's PRECOMPUTED integer lp_fp values under the frozen
-    tokenizer, with the external-model drop semantics (out-of-model
-    bigrams leave both sum and count) and the zero-scored-bigram keep
-    — tested equal to the counts-path twin
-    (semantics.lm.lm_scores over prune_model), which also cross-checks
-    that lm_model_top's lp values match counts-derived ones."""
+    model's PRECOMPUTED integer lp_fp values — FROZEN against the full
+    training model's c1; pruning selects WHICH bigrams score, it never
+    renormalizes the surviving conditionals (see prune_model's caution
+    in semantics/lm.py) — under the frozen tokenizer, with the
+    external-model drop semantics (out-of-model bigrams leave both sum
+    and count) and the zero-scored-bigram keep.  Tested equal to the
+    frozen-lp twin (lm_scores_frozen over frozen_lp_model at a
+    genuinely-pruning m), which also cross-checks lm_model_top's lp
+    values against counts-derived ones."""
     from ..semantics.bpe import ws_tokens
     from ..semantics.lm import LM_KEEP_MIN_AVG_FP
 

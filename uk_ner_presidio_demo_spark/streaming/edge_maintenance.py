@@ -13,12 +13,21 @@ keYED BY batch_id:
   * snapshot versions live at <root>/v<batch_id>;
   * batch k merges the delta into the newest version with id < k
     (its own prior partial output is invisible to the fold), so a
-    replayed batch recomputes byte-identical content from the same
-    predecessor;
+    replayed batch whose publish never completed recomputes
+    byte-identical content from the same predecessor;
+  * a replayed batch whose publish DID complete short-circuits: a
+    v<k> directory can only exist via the atomic rename, and its
+    content is a deterministic function of the predecessor chain —
+    re-publishing would both waste the fold and open a window where a
+    concurrent read_snapshot sees the version vanish;
   * publish is write-to-tmp + rename (the compaction operator's swap
     discipline, sources/maintenance.py): a torn write leaves only a
     `_tmp` directory that the replay clears; readers only ever see
-    fully-written versions.
+    fully-written versions;
+  * versions NEWER than the arriving batch id mean the root belongs to
+    a different run's chain (the checkpoint commits in order, so a
+    replay of k implies nothing after k was ever published) — the fold
+    fails fast instead of forking a second chain under readers.
 
 Scale shape (100 TB): each fold's big side is the standing snapshot
 (read + full-outer join on the edge key + write).  In an Iceberg
@@ -104,6 +113,29 @@ def edge_merge_batch_fn(root: Path, keep_versions: int = 3):
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        target = root / f"v{int(batch_id)}"
+        existing = snapshot_versions(root)
+        if any(v > int(batch_id) for v in existing):
+            # versions NEWER than this batch cannot exist in this
+            # chain (the checkpoint commits batches in order, so a
+            # replay of k implies nothing after k was published):
+            # the root holds another run's snapshots — fail fast
+            # instead of silently forking a second chain underneath
+            # readers that resolve latest_snapshot to the stale data
+            raise ValueError(
+                f"snapshot root {root} holds versions {existing} newer "
+                f"than batch {batch_id}: stale root reused with a fresh "
+                "checkpoint — point the stream at a new root or resume "
+                "the original checkpoint"
+            )
+        if target.exists():
+            # replayed batch whose publish already completed: a target
+            # directory can only exist via the atomic tmp->rename, and
+            # version content is a deterministic function of the
+            # predecessor chain — recomputing is wasted work, and the
+            # rmtree+rename republish would open a window where a
+            # concurrent read_snapshot sees the version vanish
+            return
         delta = edge_rollup(batch_df.select(*EDGE_KEY))
         prev_id = latest_snapshot(root, before=int(batch_id))
         if prev_id is None:
@@ -116,12 +148,9 @@ def edge_merge_batch_fn(root: Path, keep_versions: int = 3):
                 *EDGE_KEY, "n_obs"
             )
         tmp = root / f"_tmp_v{int(batch_id)}"
-        target = root / f"v{int(batch_id)}"
         if tmp.exists():
             shutil.rmtree(tmp)  # torn previous attempt
         merged.write.mode("overwrite").parquet(str(tmp))
-        if target.exists():
-            shutil.rmtree(target)  # replayed batch: replace determinately
         tmp.rename(target)
         # retention: Iceberg snapshot-expiry analog — never the newest
         for v in snapshot_versions(root)[:-keep_versions]:
