@@ -93,6 +93,27 @@ def test_null_timestamps_never_match(spark):
     assert got == {1: (None, None), 2: (None, None)}
 
 
+def test_null_keys_never_match(spark):
+    """NULL join keys never match (merge_asof refuses them; an ASOF
+    equi-condition is no-match on NULL) — but NULL-key LEFT rows are
+    still emitted with NULL attrs (left-join semantics)."""
+    left = spark.createDataFrame(
+        [(1, None, _t(5)), (2, "u", _t(5))],
+        "lid long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, None, _t(1), 1.0), (101, "u", _t(2), 2.0)],
+        "rid long, user string, ts timestamp, score double",
+    )
+    got = {
+        r.lid: (r.asof_rid, r.asof_score)
+        for r in asof_join(
+            left, right, "user", "ts", ["rid", "score"], pick="rid"
+        ).collect()
+    }
+    assert got == {1: (None, None), 2: (101, 2.0)}
+
+
 def test_duckdb_native_asof_parity(spark, sf01):
     """clicks ASOF LEFT JOIN views per user on real events data — the
     Spark union+window form must equal DuckDB's built-in ASOF JOIN."""

@@ -120,3 +120,38 @@ def test_trained_bpe_packing_matches_python_oracle(spark, sf01):
     assert not ws.set_index("doc_id")["n_tokens"].sort_index().equals(
         got.set_index("doc_id")["n_tokens"].sort_index()
     )
+
+
+def test_null_text_counts_like_empty(spark):
+    """NULL text must not crash the packing kernel: it counts like ""
+    (the phantom single ws token), consistently with the trained-merges
+    path which maps None -> ""."""
+    from uk_ner_presidio_demo_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_tokens
+           for r in pack_documents(docs, budget_tokens=8).collect()}
+    assert got == {1: 1, 2: 3, 3: 1}
+
+
+def test_default_buckets_are_cluster_size_independent(spark):
+    """The default n_buckets is a fixed constant, never derived from
+    defaultParallelism — default-call pack ids must not change with
+    cluster size."""
+    from uk_ner_presidio_demo_spark.operators.packing import (
+        PACK_DEFAULT_BUCKETS, pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w") for i in range(40)], "doc_id long, text string"
+    )
+    a = sorted((r.doc_id, r.pack_id)
+               for r in pack_documents(docs, budget_tokens=8).collect())
+    b = sorted((r.doc_id, r.pack_id)
+               for r in pack_documents(
+                   docs, budget_tokens=8,
+                   n_buckets=PACK_DEFAULT_BUCKETS).collect())
+    assert a == b

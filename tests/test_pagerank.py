@@ -104,3 +104,24 @@ def test_duckdb_oracle_bit_parity(spark, edges_df, tmp_path):
         map(tuple, duckdb.execute(pagerank_oracle_sql(pq, k=5)).fetchall())
     )
     assert spark_ranks == duck
+
+
+def test_empty_graph_and_bad_k(spark):
+    """Empty edge frame propagates emptiness (no driver-side division by
+    zero); k < 1 is rejected on both engine and oracle sides."""
+    import pytest
+
+    from uk_ner_presidio_demo_spark.operators.graph import (
+        pagerank, pagerank_oracle_sql,
+    )
+
+    empty = spark.createDataFrame(
+        [], "subj string, obj string, n_obs long"
+    )
+    out = pagerank(empty, k=3)
+    assert out.count() == 0
+    assert out.columns == ["node", "rank_fp"]
+    with pytest.raises(ValueError, match="k must be"):
+        pagerank(empty, k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        pagerank_oracle_sql("/nonexistent.parquet", k=0)

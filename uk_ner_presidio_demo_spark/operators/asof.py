@@ -54,7 +54,11 @@ def asof_join(
     # NATIVE ASOF sort-matcher puts NULLs last and matches NULL-ts
     # probes to NULL-ts builds as an implementation artifact (tested);
     # the driver oracle's events table has non-null ts.
-    right = right.filter(F.col(ts).isNotNull())
+    # NULL keys likewise never match (merge_asof refuses them; ASOF's
+    # equi-condition is no-match on NULL) — but NULL-key LEFT rows are
+    # still emitted with NULL attrs (left-join semantics): with the
+    # right side filtered, their window partition holds no right rows.
+    right = right.filter(F.col(ts).isNotNull() & F.col(key).isNotNull())
     # deterministic (key, ts) grain on the right: keep the max-`pick` row
     w_pick = Window.partitionBy(key, ts).orderBy(F.desc(pick))
     r1 = (

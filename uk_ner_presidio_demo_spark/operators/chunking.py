@@ -65,7 +65,14 @@ def doc_chunks(docs: DataFrame) -> DataFrame:
                          "chunk_hash"],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(kernel, CHUNKS_SCHEMA)
+    # fanout: a single-file corpus is one scan split — without the
+    # spread this kernel (which feeds both chunk-dedup driver rows)
+    # runs on one core, the exact r5 doc_simhash_dups fragility class;
+    # per-doc output is partitioning-independent, so results are
+    # unchanged
+    return fanout(docs.select("doc_id", "text")).mapInPandas(
+        kernel, CHUNKS_SCHEMA
+    )
 
 
 # Ubiquity cap as a CORPUS FRACTION (VERDICT r3 #7): a chunk in more
@@ -404,7 +411,8 @@ def shingle_candidate_pairs(docs: DataFrame,
     fps = fanout(docs.select("doc_id", "text")) \
         .mapInPandas(kernel, fp_schema).localCheckpoint(eager=True)
     n_docs = docs.select("doc_id").distinct().count()
-    cap = max(MIN_CHUNK_DF_CAP, int(n_docs * max_fp_df_frac))
+    # same cap resolution as the chunk path — one definition, never two
+    cap = _resolve_chunk_cap(n_docs, None, max_fp_df_frac)
     rare = fps.groupBy("fp").count().filter(F.col("count") <= cap) \
         .select("fp")
     fps = fps.join(rare, "fp", "left_semi")
@@ -421,6 +429,11 @@ def shingle_candidate_pairs(docs: DataFrame,
         )
         .agg(F.countDistinct("a.fp").alias("n_shared"))
     )
+    # owner-cap ranking: MUST mirror _ranked_owner_pairs' tie-break
+    # ((count desc, owner asc) — part of the DOCS golden contract); kept
+    # inline because the count column here is shingle-grained n_shared,
+    # not chunk n_lost, but any change to the ordering rule must land in
+    # BOTH places
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("n_shared"), F.asc("owner")
     )

@@ -129,16 +129,23 @@ def pagerank(edges: DataFrame, k: int = 8) -> DataFrame:
     returns (node, rank_fp) with rank_fp in BIGINT PR_SCALE units.
 
     Multi-edges must be pre-aggregated (edge_rollup then a pred
-    collapse, or any (src, dst, weight) frame).  k fixed iterations;
-    dangling-node mass decays (no redistribution) — deterministic and
-    engine-portable, and rank ORDER is unaffected (every node loses
-    the same global dangling share)."""
+    collapse, or any (src, dst, weight) frame).  k >= 1 fixed
+    iterations; dangling-node mass decays (no redistribution) —
+    deterministic and engine-portable.  NOTE: decay is a different
+    estimator from redistribute-uniformly PageRank, and after more
+    than one iteration relative ORDER can differ too (mass a
+    redistribution would re-inject propagates non-uniformly through
+    later iterations); the oracle implements the same decay, so the
+    gates agree — just don't read these ranks as order-equivalent to
+    redistribution PageRank on dangling-heavy graphs."""
     # edges feeds THREE consumers (nodes, out_w, the join) — cut once so
     # any expensive upstream (the KG detection kernel) runs exactly once
     # (CLAUDE.md two-consumer invariant).
     edges = edges.select(
         "subj", "obj", F.col("n_obs").cast("long").alias("w")
     ).localCheckpoint(eager=True)
+    if k < 1:
+        raise ValueError(f"pagerank: k must be >= 1, got {k}")
     nodes = (
         edges.select(F.col("subj").alias("node"))
         .union(edges.select(F.col("obj").alias("node")))
@@ -146,6 +153,9 @@ def pagerank(edges: DataFrame, k: int = 8) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: propagate emptiness instead of dividing by zero
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
     out_w = edges.groupBy("subj").agg(F.sum("w").alias("out_w"))
     ed = edges.join(out_w, "subj").localCheckpoint(eager=True)
@@ -189,6 +199,8 @@ def pagerank_oracle_sql(ct_parquet: str, k: int = 8) -> str:
     unrolled chain is also closer to 'what the engine executed').
     `//` and `%` on DuckDB BIGINTs match Spark's `div`/`%` exactly on
     the non-negative operands used here."""
+    if k < 1:
+        raise ValueError(f"pagerank_oracle_sql: k must be >= 1, got {k}")
     its = []
     prev = "r0"
     for i in range(1, k + 1):

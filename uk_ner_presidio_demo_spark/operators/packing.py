@@ -28,6 +28,12 @@ from pyspark.sql import types as T
 
 from .textstats import BPE_TOKEN_PATTERN
 
+# default logical-bucket count when the caller doesn't pin one — fixed
+# so default-call pack ids are cluster-size independent (see
+# pack_documents); group KEYS, not shuffle partitions, so the value
+# bounds per-kernel frame size without dictating task counts
+PACK_DEFAULT_BUCKETS = 64
+
 PACK_SCHEMA = T.StructType(
     [
         T.StructField("pack_id", T.StringType()),
@@ -54,9 +60,13 @@ def pack_documents(docs: DataFrame, budget_tokens: int = 2048,
     exactly what the training run will consume (operators/bpe.py
     bpe_token_counts, one Arrow crossing replacing the Catalyst count).
     The packing kernel itself is identical for all three."""
-    spark = docs.sparkSession
     if n_buckets is None:
-        n_buckets = max(8, spark.sparkContext.defaultParallelism * 2)
+        # a FIXED default, deliberately not derived from
+        # defaultParallelism: bucket ids are embedded in every pack_id,
+        # so a parallelism-derived count would make default-call output
+        # depend on cluster size — breaking the determinism promise
+        # above for any caller that doesn't pin n_buckets
+        n_buckets = PACK_DEFAULT_BUCKETS
     bucket_col = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)) \
         .cast("int").alias("bucket")
     if merges is not None:
@@ -68,11 +78,17 @@ def pack_documents(docs: DataFrame, budget_tokens: int = 2048,
             bucket_col,
         )
     else:
+        # coalesce NULL text to "" so all three counter paths agree on
+        # NULL rows (the merges kernel already maps None -> "") — size()
+        # of a NULL array is NULL, which the packing kernel would choke
+        # on as NaN; "" counts the same phantom single token as the
+        # ws_token_count twin
+        txt = F.coalesce(F.col("text"), F.lit(""))
         if bpe:
-            n_tok = F.size(F.regexp_extract_all("text",
+            n_tok = F.size(F.regexp_extract_all(txt,
                                                 F.lit(BPE_TOKEN_PATTERN), 0))
         else:
-            n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+            n_tok = F.size(F.split(F.trim(txt), r"\s+"))
         counted = docs.select(
             "doc_id",
             n_tok.cast("long").alias("n_tokens"),
