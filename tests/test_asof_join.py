@@ -155,3 +155,20 @@ def test_duckdb_native_asof_parity(spark, sf01):
     g_val = got["asof_value"].values
     w_val = want["asof_value"].values
     assert ((g_val == w_val) | ((g_val != g_val) & (w_val != w_val))).all()
+
+
+def test_reserved_name_collision_raises(frames):
+    """ADVICE r6: an input column named like an internal temp column
+    (_rn/_side/_r/_match/_l_<leftcol>) must raise, not silently corrupt
+    the join."""
+    left, right = frames
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left.withColumn("_side", F.lit(1)), right,
+                  "user", "ts", ["rid"], pick="rid")
+    with pytest.raises(ValueError, match="_match"):
+        asof_join(left, right.withColumn("_match", F.lit(0)),
+                  "user", "ts", ["rid"], pick="rid")
+    # _l_<col> of an actual left column collides too
+    with pytest.raises(ValueError, match="_l_lid"):
+        asof_join(left.withColumn("_l_lid", F.lit(0)), right,
+                  "user", "ts", ["rid"], pick="rid")

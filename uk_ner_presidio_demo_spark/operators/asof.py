@@ -12,7 +12,14 @@ Spark-first shape — the UNION + WINDOW trick, NOT a range join:
   3. filter side=1.
 One shuffle (the window partition), zero range explosion: a naive
 l.ts >= r.ts range join is O(|L|·|R|) per key and blows up exactly on the
-hot keys; the window form is O((|L|+|R|) log) per key and AQE-splittable.
+hot keys; the window form is O((|L|+|R|) log) per key.  Skew caveat
+(VERDICT r6): a `Window.partitionBy(key)` partition is INDIVISIBLE — one
+pathological key (every click from one user) lands on a single task and
+AQE cannot split it; the sort inside that task is O(n log n), so the
+bound is one key's row count, not the join fan-out.  Measured under a
+planted ~50%-of-events hot user in scripts/skew_bench.py (asof leg);
+a key whose row count exceeds a single task's comfort needs ts-range
+pre-bucketing (two-phase: per-(key, ts_bucket) window + boundary carry).
 Tie semantics: side=0 sorts before side=1, so a right row AT the left
 timestamp matches (inclusive, same as DuckDB `ON l.ts >= r.ts`).
 
@@ -44,7 +51,22 @@ def asof_join(
                   row with max `pick` (deterministic, engine-portable)
     right_attrs — right columns carried onto matches (NULL if no right
                   row at-or-before), emitted as `asof_<name>`
+
+    Raises on input columns colliding with the internal temp names
+    (`_rn`, `_side`, `_r`, `_match`, `_l_<leftcol>` — ADVICE r6): a
+    collision would silently corrupt the join rather than error.
     """
+    _reserved = {"_rn", "_side", "_r", "_match"} | {
+        f"_l_{c}" for c in left.columns
+    }
+    bad = sorted(
+        (set(left.columns) | set(right.columns)) & _reserved
+    )
+    if bad:
+        raise ValueError(
+            f"asof_join: input columns {bad} collide with internal "
+            f"temp names (_rn/_side/_r/_match/_l_<col>) — rename them"
+        )
     # NULL-timestamp rows never match (the pandas merge_asof contract,
     # which refuses NULL keys): unfiltered, a NULL-ts right row sorts
     # FIRST in the window and would be carried onto every left row

@@ -463,6 +463,22 @@ def excise_duplicate_spans(docs: DataFrame,
     default, so candidate recall for verify-eligible cross-doc runs is
     1.0.  Costs candidate volume (measured in SCALE.md §7e); a
     corpus-profile decision, hence a flag."""
+    if shingle_tail:
+        from ..semantics.chunking import SHINGLE_K, SHINGLE_W
+
+        guarantee = SHINGLE_K + SHINGLE_W - 1
+        if min_span_tokens < guarantee:
+            # the winnowing recall guarantee only covers runs >= K+W-1
+            # (ADVICE r6): a smaller min_span_tokens would silently lose
+            # the claimed 1.0 candidate recall for runs in
+            # [min_span_tokens, K+W-2]
+            raise ValueError(
+                f"shingle_tail=True guarantees candidate recall only for "
+                f"runs >= SHINGLE_K + SHINGLE_W - 1 = {guarantee}; "
+                f"min_span_tokens={min_span_tokens} is below that — "
+                f"retune SHINGLE_W (w = min_span_tokens - k + 1) or raise "
+                f"min_span_tokens"
+            )
     ch = doc_chunks(docs).localCheckpoint(eager=True)
     first = ch.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("first")

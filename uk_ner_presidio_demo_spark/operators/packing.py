@@ -78,11 +78,12 @@ def pack_documents(docs: DataFrame, budget_tokens: int = 2048,
             bucket_col,
         )
     else:
-        # coalesce NULL text to "" so all three counter paths agree on
-        # NULL rows (the merges kernel already maps None -> "") — size()
-        # of a NULL array is NULL, which the packing kernel would choke
-        # on as NaN; "" counts the same phantom single token as the
-        # ws_token_count twin
+        # coalesce NULL text to "" so NULL rows can't reach the packing
+        # kernel as NaN (size() of a NULL array is NULL).  The paths do
+        # NOT agree on the resulting count (ADVICE r6): the ws path
+        # DELIBERATELY keeps the phantom single token ("" splits to [''],
+        # size 1) to stay bit-identical with the ws_token_count twin,
+        # while the bpe-regex and trained-merges paths both count 0.
         txt = F.coalesce(F.col("text"), F.lit(""))
         if bpe:
             n_tok = F.size(F.regexp_extract_all(txt,

@@ -10,6 +10,30 @@ from pyspark.sql import DataFrame
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
+# JVM byte-string suffixes (Utils.byteStringAsBytes): bare digits are
+# BYTES for this conf; binary (1024) multipliers, case-insensitive.
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def parse_byte_conf(raw: object) -> int | None:
+    """Bytes of a JVM byte-string conf value ('134217728', '128m',
+    '1g', '64MB'); None when unparseable.  ADVICE r6: a bare
+    `re.match(r'(\\d+)')` read '128m' as 128 BYTES, inflating the
+    estimated split count ~10^6x and silently skipping the fan-out
+    exactly on the configs where it matters."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(raw))
+    if not m:
+        return None
+    mult = _BYTE_SUFFIX.get(m.group(2).lower())
+    return None if mult is None else int(m.group(1)) * mult
+
 
 def _local_file_sizes(df: DataFrame) -> list[int] | None:
     """Per-file byte sizes of the frame's scan, from metadata only.
@@ -70,8 +94,7 @@ def fanout(df: DataFrame) -> DataFrame:
         "spark.sql.files.maxPartitionBytes",
         str(_DEFAULT_MAX_PARTITION_BYTES),
     )
-    m = re.match(r"(\d+)", str(raw))
-    max_bytes = int(m.group(1)) if m else _DEFAULT_MAX_PARTITION_BYTES
+    max_bytes = parse_byte_conf(raw) or _DEFAULT_MAX_PARTITION_BYTES
     splits = sum(max(1, math.ceil(s / max_bytes)) for s in sizes)
     if splits >= target:
         return df
