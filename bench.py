@@ -257,8 +257,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 # recorded so bench_regressions can warn when two rounds
-                # used different wall estimators (ADVICE r2)
-                "estimator": "best_of_2",
+                # used different wall estimators (ADVICE r2).  r7 rename
+                # (VERDICT r6 #1): the two attempts have been
+                # pass-separated full sweeps since commit 5c2b819 (late
+                # r6), which is a DIFFERENT estimator from back-to-back
+                # best-of-2 — the r6 file that still said "best_of_2" is
+                # corrected via ESTIMATOR_ACTUAL in bench_regressions.py
+                "estimator": "best_of_2_passes",
                 # single-proc detection texts/s (max of a probe before and
                 # after the loop) — bench_regressions.py divides out the
                 # host-drift ratio between two rounds' control rates
