@@ -279,15 +279,30 @@ def test_edge_upsert_merge_plan(spark, sf01):
 
 
 def test_pagerank_iteration_plan(spark, sf01):
-    """kg_pagerank's returned frame is the LAST iteration over
-    checkpointed inputs: one join + one left join + integer arithmetic —
-    no Python stage, no cartesian, and the KG detection kernel must be
-    entirely behind the edge checkpoint (runs once at construction)."""
+    """kg_pagerank's returned frame has no Python stage and no
+    cartesian, and the KG detection kernel must be entirely behind the
+    edge checkpoint (runs once at construction).  At sf0.01 the size
+    gate (PR_LOCAL_MAX_EDGES, r7) resolves the fixed point driver-side,
+    so the final plan is a LocalTableScan of broadcast-back ranks; the
+    distributed iteration plan (one join + one left join + integer
+    arithmetic per round) is asserted on a forced-distributed run."""
     plan = _plan(em.queries()["kg_pagerank"](spark, sf01))
     assert plan.count("MapInPandas") == 0
     assert plan.count("FlatMapCoGroupsInPandas") == 0
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+    # forced-distributed twin: the last-iteration plan stays pure JVM
+    from uk_ner_presidio_demo_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3)],
+        "subj string, obj string, n_obs long",
+    )
+    dplan = _plan(pagerank(edges, k=2, local_max_edges=0))
+    assert dplan.count("MapInPandas") == 0
+    assert "BatchEvalPython" not in dplan
+    assert "CartesianProduct" not in dplan
 
 
 def test_lm_score_is_pure_catalyst(spark, sf01):

@@ -123,10 +123,55 @@ PR_DAMP_DEN = 100
 # bit-identical at any cadence (bit-parity gate in test_pagerank).
 PR_CKPT_EVERY = 8
 
+# Physical-strategy gate (r7, VERDICT r6 #2 — the CC_LOCAL_MAX_EDGES
+# pattern, operators/canonicalize.py:64): at or below this many edges
+# the fixed point runs DRIVER-LOCAL on collected rows and the result is
+# broadcast back; above it, the distributed join+agg loop runs.  Ranks
+# are INTEGER, so the two strategies are bit-identical (exact-equality
+# property test in tests/test_pagerank.py) — the gate is scheduling,
+# not semantics.  Motivation: at sf0.1 the canonical-triples graph is
+# ~468 nodes, and 8 distributed shuffle stages of fixed overhead were
+# 22% of the r6 headline wall; a production 10^9-edge graph takes the
+# distributed path exactly as before.
+PR_LOCAL_MAX_EDGES = 200_000
 
-def pagerank(edges: DataFrame, k: int = 8) -> DataFrame:
+
+def _local_pagerank(edge_rows, k: int) -> list[tuple]:
+    """Driver-local twin of the distributed loop — IDENTICAL integer
+    arithmetic (Python // and % agree with Spark div/% on the
+    non-negative operands used here), so ranks are bit-identical by
+    construction and gated by the cross-strategy equality test."""
+    out_w: dict = {}
+    nodes = set()
+    edges = []
+    for r in edge_rows:
+        nodes.add(r.subj)
+        nodes.add(r.obj)
+        out_w[r.subj] = out_w.get(r.subj, 0) + r.w
+        edges.append((r.subj, r.obj, r.w))
+    n = len(nodes)
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    rank = {v: PR_SCALE // n for v in nodes}
+    for _ in range(k):
+        in_mass: dict = {}
+        for s, d, w in edges:
+            damp = rank[s] * PR_DAMP_NUM // PR_DAMP_DEN
+            ow = out_w[s]
+            c = (damp // ow) * w + ((damp % ow) * w) // ow
+            in_mass[d] = in_mass.get(d, 0) + c
+        rank = {v: base + in_mass.get(v, 0) for v in nodes}
+    return [(v, rank[v]) for v in sorted(nodes)]
+
+
+def pagerank(edges: DataFrame, k: int = 8,
+             local_max_edges: int = PR_LOCAL_MAX_EDGES) -> DataFrame:
     """Weighted directed PageRank over (subj, obj, n_obs) edges;
     returns (node, rank_fp) with rank_fp in BIGINT PR_SCALE units.
+
+    Physical strategy is size-gated (PR_LOCAL_MAX_EDGES, the CC
+    pattern): small edge sets solve driver-side, large ones run the
+    distributed join+agg loop; integer ranks make the two paths
+    bit-identical (exact-equality gate in tests/test_pagerank.py).
 
     Multi-edges must be pre-aggregated (edge_rollup then a pred
     collapse, or any (src, dst, weight) frame).  k >= 1 fixed
@@ -146,6 +191,22 @@ def pagerank(edges: DataFrame, k: int = 8) -> DataFrame:
     ).localCheckpoint(eager=True)
     if k < 1:
         raise ValueError(f"pagerank: k must be >= 1, got {k}")
+
+    if edges.count() <= local_max_edges:
+        # size-gated local strategy (see PR_LOCAL_MAX_EDGES): solve the
+        # fixed point driver-side; one collect bounded by the gate
+        import pyspark.sql.types as T
+
+        spark = edges.sparkSession
+        schema = T.StructType([
+            T.StructField("node", edges.schema["subj"].dataType),
+            T.StructField("rank_fp", T.LongType()),
+        ])
+        rows = edges.collect()
+        if not rows:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(_local_pagerank(rows, k), schema)
+
     nodes = (
         edges.select(F.col("subj").alias("node"))
         .union(edges.select(F.col("obj").alias("node")))
