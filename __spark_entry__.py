@@ -283,16 +283,64 @@ def _q_kg_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the same merge in SQL over the golden canonical
     triples.  The canonical-triples frame feeds BOTH splits, so it is
     lineage-cut once (CLAUDE.md: two consumers of a mentions-derived frame
-    re-run the detection kernel without it)."""
+    re-run the detection kernel without it).
+
+    Two legs (r7, VERDICT r6 #5):
+      'merge'  — the batch MERGE operator (proves the merge ALGEBRA:
+                 full-outer arithmetic + change_kind classification);
+      'stream' — the production FOLD CHAIN
+                 (streaming/edge_maintenance.py): the same two splits
+                 arrive as two availableNow micro-batches through a
+                 resumed checkpoint, each folded into the versioned
+                 tmp-then-rename snapshot by foreachBatch, and
+                 read_snapshot returns the standing table — counts are
+                 additive, so the final snapshot must be row-identical
+                 to the all-triples rollup (change_kind is not stored
+                 in snapshots; NULL on this leg)."""
+    from pathlib import Path
+
     from uk_ner_presidio_demo_spark.operators.graph import (
         edge_rollup, merge_edge_snapshots,
+    )
+    from uk_ner_presidio_demo_spark.streaming.edge_maintenance import (
+        read_snapshot, run_edge_maintenance,
     )
 
     ct = _q_canonical_triples(spark, sf_dir).localCheckpoint(eager=True)
     is_prev = F.substring(F.md5("conv_id"), 1, 1).isin(*"01234567")
     prev = edge_rollup(ct.filter(is_prev))
     delta = edge_rollup(ct.filter(~is_prev))
-    return merge_edge_snapshots(prev, delta)
+    merge_leg = merge_edge_snapshots(prev, delta).select(
+        F.lit("merge").alias("leg"), "subj", "pred", "obj", "n_obs",
+        "change_kind",
+    )
+
+    pdf = ct.select(
+        "subj", "pred", "obj", is_prev.alias("_p")
+    ).toPandas()
+    src = Path(_tmpdir("edge_maint_src_"))
+    root = Path(_tmpdir("edge_maint_snap_"))
+    ck = _tmpdir("ck_edge_maint_")
+    cols = ["subj", "pred", "obj"]
+    pdf[pdf["_p"]][cols].to_parquet(src / "b0.parquet", index=False)
+
+    def _stream():
+        return spark.readStream.schema(
+            "subj string, pred string, obj string"
+        ).parquet(str(src))
+
+    # batch 0 = snapshot bootstrap (prev); then the delta file lands and
+    # the RESUMED checkpoint folds it as batch 1 — the continuous-KG
+    # maintenance loop, two publishes deep
+    run_edge_maintenance(_stream(), root, ck)
+    pdf[~pdf["_p"]][cols].to_parquet(src / "b1.parquet", index=False)
+    run_edge_maintenance(_stream(), root, ck)
+    stream_leg = read_snapshot(spark, root).select(
+        F.lit("stream").alias("leg"), "subj", "pred", "obj",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.lit(None).cast("string").alias("change_kind"),
+    )
+    return merge_leg.unionByName(stream_leg)
 
 
 def _q_top_surfaces_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,6 +1240,30 @@ def _q_tpch_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
+def _q_doc_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed order statistics (operators/quantiles.py
+    exact_int_quantiles — the VALUE-HISTOGRAM method: one
+    map-side-combined groupBy(value) corpus scan, a cumulative window
+    over the BOUNDED histogram, and `disc_rank`'s decimal-exact
+    PERCENTILE_DISC rank arithmetic) of per-doc whitespace token
+    counts, verified live against DuckDB `quantile_disc` (VERDICT r6
+    #3: the one r6 operator family without a driver hash row).  The
+    token-count expression is the same frozen ws split both engines
+    already agree on bit-exactly (txt_text_profile)."""
+    from uk_ner_presidio_demo_spark.operators.quantiles import (
+        exact_int_quantiles,
+    )
+
+    docs = read_tpch(spark, sf_dir, "documents")
+    counts = docs.select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens")
+    )
+    return exact_int_quantiles(
+        counts, "n_tokens", [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    ).select(F.col("q"), F.col("value").cast("long").alias("value"))
+
+
 def _q_tpch_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-4/W-5 ranking window over a pushed-down filter + O-8 scalar
     projections: latest 3 big-ticket orders per customer, with the substring
@@ -1527,7 +1599,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     txt_lm_score (fixed-point bigram-LM corpus-typicality filter, live
     DuckDB oracle), events_asof_view (backward as-of join vs DuckDB's
     NATIVE ASOF LEFT JOIN), and kg_triangles (degree-oriented triangle
-    census vs an independent three-way self-join oracle)."""
+    census vs an independent three-way self-join oracle).
+    r7 rotation (VERDICT r6 #3): tpch_semi_anti_join demoted — the
+    board's lowest-information row; its semi/anti evidence also lives
+    in kg_review_mentions (left-semi) and the dedup-apply plan gates
+    (left-anti), and its live SQL oracle moved verbatim to
+    tests/test_demoted_queries.py — freeing the slot for
+    doc_token_quantiles: exact integer order statistics vs DuckDB
+    quantile_disc live, the hard driver signal for disc_rank's
+    decimal-exact rank arithmetic."""
     return {
         "kg_mentions": _q_mentions,
         "kg_anonymized": _q_anonymized,
@@ -1575,7 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_plan": _q_mm_media_plan,
         "tpch_agg": _q_tpch_agg,
         "tpch_broadcast_join": _q_tpch_broadcast_join,
-        "tpch_semi_anti_join": _q_tpch_semi_anti_join,
+        "doc_token_quantiles": _q_doc_token_quantiles,
         "tpch_window_topk": _q_tpch_window_topk,
         "events_asof_view": _q_events_asof_view,
         "events_sessionize": _q_events_sessionize,
@@ -2096,13 +2176,18 @@ def oracle_sql() -> dict[str, str]:
                       NOT IN ('0','1','2','3','4','5','6','7')
                 GROUP BY 1, 2, 3
             )
-            SELECT subj, pred, obj,
+            SELECT 'merge' AS leg, subj, pred, obj,
                    CAST(coalesce(p.n, 0) + coalesce(d.n, 0) AS BIGINT)
                        AS n_obs,
                    CASE WHEN p.n IS NULL THEN 'inserted'
                         WHEN d.n IS NULL THEN 'carried'
                         ELSE 'updated' END AS change_kind
             FROM prev p FULL OUTER JOIN delta d USING (subj, pred, obj)
+            UNION ALL
+            SELECT 'stream', subj, pred, obj,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(NULL AS VARCHAR) AS change_kind
+            FROM ct GROUP BY subj, pred, obj
         """,
         "tpch_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -2123,21 +2208,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "tpch_semi_anti_join": """
-            SELECT 'semi' AS leg, c_custkey, c_mktsegment,
-                   CAST(NULL AS DOUBLE) AS c_acctbal
-            FROM customer
-            WHERE c_custkey IN (
-                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        "doc_token_quantiles": r"""
+            WITH t AS (
+                SELECT CAST(length(regexp_split_to_array(trim(text),
+                            '\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+                WHERE text IS NOT NULL
             )
-            UNION ALL
-            SELECT 'anti', c_custkey, CAST(NULL AS VARCHAR), c_acctbal
-            FROM customer c
-            WHERE NOT EXISTS (
-                SELECT 1 FROM orders o
-                WHERE o.o_custkey = c.c_custkey
-                  AND o.o_orderpriority = '1-URGENT'
-            )
+            SELECT CAST(0.0 AS DOUBLE) AS q,
+                   CAST(quantile_disc(n_tokens, 0.0) AS BIGINT) AS value
+            FROM t
+            UNION ALL SELECT 0.25, quantile_disc(n_tokens, 0.25) FROM t
+            UNION ALL SELECT 0.5, quantile_disc(n_tokens, 0.5) FROM t
+            UNION ALL SELECT 0.9, quantile_disc(n_tokens, 0.9) FROM t
+            UNION ALL SELECT 0.99, quantile_disc(n_tokens, 0.99) FROM t
+            UNION ALL SELECT 1.0, quantile_disc(n_tokens, 1.0) FROM t
         """,
         "tpch_window_topk": """
             SELECT o_custkey, o_orderkey, rn,

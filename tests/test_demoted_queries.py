@@ -261,6 +261,31 @@ def test_unit_lang_and_quality_match_fused(spark, sf01):
             """,
         ),
         (
+            # demoted r7 (VERDICT r6 #3): board slot went to
+            # doc_token_quantiles; J-6 semi/anti evidence also lives in
+            # kg_review_mentions (left-semi) and the dedup-apply plan
+            # gates (left-anti).  SAME live SQL oracle it held on the
+            # board.
+            em._q_tpch_semi_anti_join,
+            """
+            SELECT 'semi' AS leg, c_custkey, c_mktsegment,
+                   CAST(NULL AS DOUBLE) AS c_acctbal
+            FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            UNION ALL
+            SELECT 'anti', c_custkey, CAST(NULL AS VARCHAR), c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            """,
+        ),
+        (
             # demoted late-r6: board slot went to kg_triangles; the
             # Expand+Aggregate ROLLUP shape keeps this mirror, A-6
             # conditional aggregation stays board-verified via
