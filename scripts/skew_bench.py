@@ -274,7 +274,60 @@ def main() -> None:
         # cannot manifest below partition granularity)
         cc_stages = _new_heavy_stages(spark, before, min_tasks=1)
 
+        # AS-OF hot-key leg (r7, VERDICT r6 #4): ONE user owns ~50% of
+        # events on both sides of the as-of join.  The single-window
+        # form puts that user's entire (views+clicks) row set into ONE
+        # indivisible Window.partitionBy(user) task; the bucketed
+        # two-phase form (asof_join_bucketed) splits it across
+        # (user, ts-bucket) partitions.  Both run over the same spiked
+        # frame; the stage quantiles show the one-task ceiling vs the
+        # split, and the row-count ratio is the deterministic skew.
+        from uk_ner_presidio_demo_spark.operators.asof import (
+            asof_join, asof_join_bucketed,
+        )
+
+        ev = read_tpch(spark, sf_dir, "events")
+        n_ev = ev.count()
+        hot_ev = spark.range(n_ev).selectExpr(
+            "CAST(100000000 + id AS BIGINT) AS event_id",
+            "timestampadd(SECOND, CAST(id % 86400 AS INT), "
+            "TIMESTAMP '2024-03-01 00:00:00') AS ts",
+            "CAST(99999999 AS BIGINT) AS user_id",
+            "CASE WHEN id % 2 = 0 THEN 'view' ELSE 'click' END "
+            "AS event_type",
+            "CAST(id AS DOUBLE) AS value",
+            "CAST(NULL AS STRING) AS props",
+        ).select(*ev.columns)
+        spiked_ev = ev.unionByName(hot_ev).localCheckpoint(eager=True)
+        asof_key_rows = (
+            spiked_ev.groupBy("user_id").count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("med"),
+            ).first()
+        )
+        clicks_s = spiked_ev.filter(F.col("event_type") == "click")
+        views_s = spiked_ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+        )
+        before = set(_completed_stages(spark))
+        _force(asof_join(clicks_s, views_s, "user_id", "ts",
+                         ["view_id", "value"], pick="view_id"))
+        asof_single_stages = _new_heavy_stages(spark, before, min_tasks=4)
+        before = set(_completed_stages(spark))
+        _force(asof_join_bucketed(clicks_s, views_s, "user_id", "ts",
+                                  ["view_id", "value"], pick="view_id",
+                                  bucket_width=3600))
+        asof_bucketed_stages = _new_heavy_stages(spark, before,
+                                                 min_tasks=4)
+
         result["sfs"][key] = {
+            "asof_key_rows_max": asof_key_rows["mx"],
+            "asof_key_rows_median": asof_key_rows["med"],
+            "asof_key_ratio": round(
+                asof_key_rows["mx"] / asof_key_rows["med"], 2),
+            "asof_single_window_stages": asof_single_stages,
+            "asof_bucketed_stages": asof_bucketed_stages,
             "entity_mention_rows_max": ment_rows["mx"],
             "entity_mention_rows_median": ment_rows["med"],
             "entity_mention_ratio": round(

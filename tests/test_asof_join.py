@@ -172,3 +172,67 @@ def test_reserved_name_collision_raises(frames):
     with pytest.raises(ValueError, match="_l_lid"):
         asof_join(left.withColumn("_l_lid", F.lit(0)), right,
                   "user", "ts", ["rid"], pick="rid")
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()), key=lambda t: tuple(map(str, t)))
+
+
+@pytest.mark.parametrize("width", [1, 7, 3600])
+def test_bucketed_equals_single_window(frames, width):
+    """asof_join_bucketed is a PHYSICAL variant: identical output to
+    asof_join at every bucket width (the width only moves rows between
+    window partitions)."""
+    from uk_ner_presidio_demo_spark.operators.asof import asof_join_bucketed
+
+    left, right = frames
+    base = _sorted_rows(
+        asof_join(left, right, "user", "ts", ["rid", "score"], pick="rid")
+    )
+    got = _sorted_rows(
+        asof_join_bucketed(left, right, "user", "ts", ["rid", "score"],
+                           pick="rid", bucket_width=width)
+    )
+    assert got == base
+
+
+def test_bucketed_hot_key_and_nulls_parity(spark):
+    """Planted hot key (one user owning ~two thirds of both sides) plus
+    NULL ts / NULL key rows on both sides: the bucketed form must agree
+    with the single-window form row-for-row — the hot key is exactly
+    the input it exists for, and the NULL semantics must not drift
+    between the physical strategies."""
+    from uk_ner_presidio_demo_spark.operators.asof import asof_join_bucketed
+
+    left_rows = [(i, "hot", _t(i % 211)) for i in range(400)]
+    left_rows += [(1000 + i, f"u{i % 13}", _t((7 * i) % 211))
+                  for i in range(200)]
+    left_rows += [(2000, "hot", None), (2001, None, _t(5))]
+    right_rows = [(10_000 + i, "hot", _t((3 * i) % 197), float(i))
+                  for i in range(300)]
+    right_rows += [(20_000 + i, f"u{i % 13}", _t((11 * i) % 197), float(i))
+                   for i in range(100)]
+    right_rows += [(30_000, "hot", None, 1.0), (30_001, None, _t(3), 2.0)]
+    left = spark.createDataFrame(
+        left_rows, "lid long, user string, ts timestamp")
+    right = spark.createDataFrame(
+        right_rows, "rid long, user string, ts timestamp, score double")
+    base = _sorted_rows(
+        asof_join(left, right, "user", "ts", ["rid", "score"], pick="rid")
+    )
+    for width in (1, 60):
+        got = _sorted_rows(
+            asof_join_bucketed(left, right, "user", "ts",
+                               ["rid", "score"], pick="rid",
+                               bucket_width=width)
+        )
+        assert got == base, f"width={width}"
+
+
+def test_bucketed_bad_width(frames):
+    from uk_ner_presidio_demo_spark.operators.asof import asof_join_bucketed
+
+    left, right = frames
+    with pytest.raises(ValueError, match="bucket_width"):
+        asof_join_bucketed(left, right, "user", "ts", ["rid"],
+                           pick="rid", bucket_width=0)
