@@ -654,10 +654,37 @@ def _q_txt_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shared-as-data piece is the ilog lookup (golden_lm_ilog,
     generated by the independent Python twin in oracle/docs_golden.py
     — semantics/lm.py explains why that is the right seam: the lookup
-    is pure math keyed by count VALUE, bounded by sqrt(2N))."""
-    from uk_ner_presidio_demo_spark.operators.lm import lm_score_docs
+    is pure math keyed by count VALUE, bounded by sqrt(2N)).
 
-    return lm_score_docs(read_tpch(spark, sf_dir, "documents"))
+    Two legs (r7, VERDICT r6 #7):
+      'self'   — corpus-typicality filter (model trained on the corpus
+                 itself);
+      'xmodel' — the real CCNet shape: the model trains on the
+                 REFERENCE split (doc_id % LM_XMODEL_REF_MOD == 0,
+                 the shared golden-contract rule) and scores the
+                 complement; out-of-model bigrams drop from BOTH the
+                 sum and the scored count (the operator's inner join),
+                 which this leg hash-verifies against the oracle's
+                 equivalent join-drop."""
+    from uk_ner_presidio_demo_spark.operators.lm import (
+        lm_bigram_model, lm_score_docs,
+    )
+    from uk_ner_presidio_demo_spark.oracle.docs_golden import (
+        LM_XMODEL_REF_MOD,
+    )
+
+    docs = read_tpch(spark, sf_dir, "documents")
+    self_leg = lm_score_docs(docs).select(
+        F.lit("self").alias("leg"), "doc_id", "n_bigrams", "lp_sum_fp",
+        "keep",
+    )
+    is_ref = F.col("doc_id") % LM_XMODEL_REF_MOD == 0
+    model = lm_bigram_model(docs.filter(is_ref))
+    x_leg = lm_score_docs(docs.filter(~is_ref), model=model).select(
+        F.lit("xmodel").alias("leg"), "doc_id", "n_bigrams", "lp_sum_fp",
+        "keep",
+    )
+    return self_leg.unionByName(x_leg)
 
 
 def _q_doc_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,7 +1763,8 @@ def oracle_sql() -> dict[str, str]:
 
     from uk_ner_presidio_demo_spark.data.synth import ensure_media
     from uk_ner_presidio_demo_spark.oracle.docs_golden import (
-        ensure_docs_golden, ensure_files_golden, ensure_media_golden,
+        LM_XMODEL_REF_MOD, ensure_docs_golden, ensure_files_golden,
+        ensure_media_golden,
     )
 
     dg = str(ensure_docs_golden(SF001))
@@ -2106,8 +2134,27 @@ def oracle_sql() -> dict[str, str]:
             sc AS (
                 SELECT doc_id, count(*) AS n_bigrams, sum(lp_fp) AS lp_sum
                 FROM bg JOIN lp USING (w1, w2) GROUP BY 1
+            ),
+            c2r AS (
+                SELECT w1, w2, count(*) AS c2 FROM bg
+                WHERE doc_id % {LM_XMODEL_REF_MOD} = 0 GROUP BY 1, 2
+            ),
+            c1r AS (SELECT w1, sum(c2) AS c1 FROM c2r GROUP BY 1),
+            lpr AS (
+                SELECT c2r.w1, c2r.w2, i2.ilog_fp - i1.ilog_fp AS lp_fp
+                FROM c2r
+                JOIN c1r USING (w1)
+                JOIN read_parquet('{dg}/golden_lm_ilog.parquet') i2
+                  ON c2r.c2 = i2.k
+                JOIN read_parquet('{dg}/golden_lm_ilog.parquet') i1
+                  ON c1r.c1 = i1.k
+            ),
+            scr AS (
+                SELECT doc_id, count(*) AS n_bigrams, sum(lp_fp) AS lp_sum
+                FROM bg JOIN lpr USING (w1, w2)
+                WHERE doc_id % {LM_XMODEL_REF_MOD} <> 0 GROUP BY 1
             )
-            SELECT d.doc_id,
+            SELECT 'self' AS leg, d.doc_id,
                    CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    CAST(coalesce(sc.lp_sum, 0) AS BIGINT) AS lp_sum_fp,
                    (coalesce(sc.n_bigrams, 0) = 0
@@ -2116,6 +2163,17 @@ def oracle_sql() -> dict[str, str]:
                           * CAST(coalesce(sc.n_bigrams, 0) AS BIGINT)
                    ) AS keep
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+            UNION ALL
+            SELECT 'xmodel', d.doc_id,
+                   CAST(coalesce(scr.n_bigrams, 0) AS BIGINT),
+                   CAST(coalesce(scr.lp_sum, 0) AS BIGINT),
+                   (coalesce(scr.n_bigrams, 0) = 0
+                    OR CAST(coalesce(scr.lp_sum, 0) AS BIGINT)
+                       >= {LM_KEEP_MIN_AVG_FP}
+                          * CAST(coalesce(scr.n_bigrams, 0) AS BIGINT)
+                   )
+            FROM documents d LEFT JOIN scr ON d.doc_id = scr.doc_id
+            WHERE d.doc_id % {LM_XMODEL_REF_MOD} <> 0
         """,
         "events_sessionize": """
             SELECT event_id, user_id, gap_sec,

@@ -52,6 +52,20 @@ BY_DESIGN: dict[int, dict[str, str]] = {
             "mechanism and trade as doc_span_excise)"
         ),
     },
+    7: {
+        "txt_lm_score": (
+            "r7 added the external-model 'xmodel' leg (VERDICT r6 #7: "
+            "train on the doc_id-parity reference split, score the "
+            "complement) — a second model build + scoring pass on top "
+            "of the r6 self-scoring leg"
+        ),
+        "kg_edge_upsert": (
+            "r7 added the 'stream' leg (VERDICT r6 #5: the versioned-"
+            "snapshot fold chain — two availableNow streaming batches "
+            "through a resumed checkpoint + read_snapshot) on top of "
+            "the batch MERGE leg"
+        ),
+    },
 }
 
 # File-level estimator corrections: BENCH_r{N}.json whose recorded

@@ -33,7 +33,20 @@ from ..semantics.docsim import (
 # v17: + golden_lm_ilog / golden_lm_scores (fixed-point bigram-LM
 # corpus-typicality scoring, late-r6 board row txt_lm_score; the ilog
 # lookup is the shared-as-data transcendental, semantics/lm.py).
-DOCS_GOLDEN_VERSION = 17
+# v18 (r7, VERDICT r6 #7): golden_lm_ilog additionally covers the
+# REFERENCE-split model's count values (docs with doc_id %
+# LM_XMODEL_REF_MOD == 0) so the live-SQL oracle can score the
+# external-model leg of txt_lm_score (train-on-reference,
+# score-target — the real CCNet shape); extra lookup rows are inert
+# for the self-scoring leg (exact-value joins).
+DOCS_GOLDEN_VERSION = 18
+
+# External-model split rule for the txt_lm_score 'xmodel' leg (engine
+# twin: __spark_entry__._q_txt_lm_score): the model trains on docs
+# with doc_id % LM_XMODEL_REF_MOD == 0 and scores the complement.
+# Part of the golden contract: changing it requires a
+# DOCS_GOLDEN_VERSION bump and keeps the engine query in lockstep.
+LM_XMODEL_REF_MOD = 2
 
 # Appended-index driver-row split (engine twin: __spark_entry__
 # _q_ann_ivfpq_query_path): vectors with vec_id % PQ_APPEND_MOD ==
@@ -421,13 +434,20 @@ def ensure_docs_golden(sf_dir: str) -> Path:
     from ..semantics.lm import ilog_values, lm_scores
 
     lm_model: dict[tuple[str, str], int] = {}
+    lm_model_ref: dict[tuple[str, str], int] = {}
     from ..semantics.lm import doc_bigrams as _doc_bigrams
 
-    for t in texts.values():
+    for d, t in texts.items():
         for bg in _doc_bigrams(t):
             lm_model[bg] = lm_model.get(bg, 0) + 1
+            if d % LM_XMODEL_REF_MOD == 0:
+                lm_model_ref[bg] = lm_model_ref.get(bg, 0) + 1
+    # v18: one lookup covering BOTH models' count values (full-corpus
+    # self-model + reference-split external model); exact-value joins
+    # make the extra rows inert for the self leg
+    ilog_all = {**ilog_values(lm_model_ref), **ilog_values(lm_model)}
     pd.DataFrame(
-        sorted(ilog_values(lm_model).items()), columns=["k", "ilog_fp"]
+        sorted(ilog_all.items()), columns=["k", "ilog_fp"]
     ).astype({"k": "int64", "ilog_fp": "int64"}).to_parquet(
         out_dir / "golden_lm_ilog.parquet", index=False
     )
