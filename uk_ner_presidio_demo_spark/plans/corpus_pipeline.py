@@ -77,6 +77,13 @@ class CorpusPipeline(StagedPipeline):
     # atypical tail (keep = avg bigram log-prob >= LM_KEEP_MIN_AVG_FP).
     # Off by default for the same golden-stability reason as bpe_pack.
     lm_filter: bool = False
+    # r7 (VERDICT r6 #8): recall-1.0 excision mode — adds the winnowed
+    # k-gram candidate pass (shingle_candidate_pairs) to the excise
+    # stage so duplicated runs below the CDC resync horizon (which
+    # chunk-hash blocking can NEVER pair, SCALE.md §7e) still reach the
+    # exact-span verify.  Costs candidate volume (measured in SCALE.md
+    # §7e/§7h); a corpus-profile decision, hence a flag like the rest.
+    shingle_tail: bool = False
 
     def run(self) -> dict[str, DataFrame]:
         spark = self.spark
@@ -139,10 +146,13 @@ class CorpusPipeline(StagedPipeline):
         # change token counts, so both precede packing; excision runs
         # first so span boundaries come from the raw text the chunk
         # fingerprints were computed over, not scrub-rewritten text
-        fp_excise = fp_split + "|decon|excise"
+        fp_excise = fp_split + "|decon|excise" \
+            + ("|shingle" if self.shingle_tail else "")
         excised = self._stage(
             "excise", fp_excise,
-            lambda: excise_duplicate_spans(decon).select(
+            lambda: excise_duplicate_spans(
+                decon, shingle_tail=self.shingle_tail
+            ).select(
                 "doc_id", "n_excised_tokens",
                 F.col("clean_text").alias("text"),
             ),
