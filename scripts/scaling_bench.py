@@ -308,8 +308,28 @@ Round-over-round totals caveat: the bench headline set currently holds
 source of truth for this count) and grows across rounds, so raw totals
 from different rounds are not comparable; `scripts/bench_regressions.py`
 prints the like-for-like subtotal over the shared query set, normalizes
-per-query ratios by each file's `control_texts_per_sec` hardware-control
-probe (host drift), and notes estimator provenance.
+per-query ratios by each file's hardware-control probe (the all-cores
+`control_par_texts_per_sec` leg when both files carry it, else the
+single-proc leg), and notes estimator provenance.
+
+**Estimator seam (r5 -> r6, adjudicated r7)**: late r6 (commit
+`5c2b819`) moved the per-query best-of-2 from back-to-back attempt
+pairs to two pass-separated full sweeps, without re-tagging the
+`estimator` field — BENCH_r06.json's stamp is corrected via
+`ESTIMATOR_ACTUAL` in `scripts/bench_regressions.py`, and the seam is
+recorded in `ESTIMATOR_SEAMS[6]` (cross-seam flags downgrade to
+informational).  The shift was quantified once in two sweep-faithful
+interleaved sessions (`scripts/estimator_shift.py`, results in
+`BENCH/estimator_shift.json`): pass-separated best-of-2 reads a
+**median ~1.12-1.16x** higher than back-to-back best-of-2 on six
+untouched queries (a back-to-back second attempt rides the first
+attempt's warm pages and co-tenant window; a pass-separated one
+weathers independent minutes).  Per-query factors are noisy
+(0.46-1.31) under co-tenancy — read the medians.  Combined with the
+r5-file's single-proc-only drift normalization (x1.28 on every ratio,
+adjudicated over-flagging in VERDICT r6 #3), this accounts for the 19
+r6 flags; BENCH_r07 onward compares like-for-like
+(`best_of_2_passes` both sides).
 """)
 
 

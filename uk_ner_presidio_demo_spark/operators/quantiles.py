@@ -57,6 +57,100 @@ def disc_rank(q: float, n: int) -> int:
     return min(n, max(1, int(r)))
 
 
+def _rank_expr(q_col, tot_col):
+    """Catalyst twin of `disc_rank`, exact for decimal-literal qs with
+    <= 10 fractional digits: CAST(double -> DECIMAL(12,10)) recovers
+    the decimal the caller wrote (the same recovery Fraction(str(q))
+    performs driver-side), and decimal multiply / ceil are exact —
+    so rank = least(n, greatest(1, ceil(q * n))) with no float noise.
+    Parity with disc_rank is pytest-gated on a (q, n) grid."""
+    qd = q_col.cast("decimal(12,10)")
+    return F.least(
+        tot_col,
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(qd * tot_col).cast("long"),
+        ),
+    )
+
+
+def exact_int_quantiles_by(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: list[float],
+    max_distinct: int = MAX_DISTINCT_DEFAULT,
+) -> DataFrame:
+    """(*keys, q, value): exact per-GROUP discontinuous quantiles — the
+    form a corpus profiler runs at scale (token-count quantiles per
+    language / per source / per shard).
+
+    Same value-histogram method as `exact_int_quantiles`, fully
+    distributed per group (nothing collects to the driver):
+
+      one map-side-combined groupBy(*keys, value) corpus scan
+   -> cumulative count + group total over the per-group HISTOGRAM
+      (window partitioned by keys — O(distinct values) per group, the
+      method's bound, guarded by max_distinct on the LARGEST group)
+   -> rank per (group, q) computed IN CATALYST with exact decimal
+      arithmetic (`_rank_expr`, the disc_rank twin — group totals
+      differ, so the rank cannot be a driver-side constant)
+   -> broadcast-join the tiny q frame, keep the smallest value whose
+      cumulative count reaches the rank.
+
+    `qs` must be decimal literals with <= 10 fractional digits (the
+    exact-recovery contract of `_rank_expr`); NULL values are ignored
+    per group, NULL group keys form their own group (standard GROUP BY
+    semantics, matching the DuckDB oracle)."""
+    if not keys:
+        raise ValueError("exact_int_quantiles_by: keys must be non-empty")
+    bad = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"exact_int_quantiles_by: qs outside [0, 1]: {bad}"
+        )
+    hist = (
+        df.select(*keys, F.col(col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy(*keys, "_v")
+        .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=True)  # one corpus scan feeds guard + cum
+    )
+    biggest = (
+        hist.groupBy(*keys).count()
+        .agg(F.max("count").alias("mx")).collect()
+    )
+    if not biggest or biggest[0]["mx"] is None:
+        raise ValueError("exact_int_quantiles_by: empty input")
+    if biggest[0]["mx"] > max_distinct:
+        raise ValueError(
+            f"exact_int_quantiles_by: largest group holds "
+            f"{biggest[0]['mx']} distinct values of {col!r}, over "
+            f"max_distinct={max_distinct}; use a sketch or widen the "
+            "bound deliberately"
+        )
+    w_cum = (
+        Window.partitionBy(*keys).orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys, "_v",
+        F.sum("_n").over(w_cum).alias("_cum"),
+        F.sum("_n").over(w_tot).alias("_tot"),
+    )
+    spark = df.sparkSession
+    qs_df = spark.createDataFrame(
+        [(float(q),) for q in sorted(set(qs))], "q double"
+    )
+    rank = _rank_expr(F.col("q"), F.col("_tot"))
+    return (
+        cum.join(F.broadcast(qs_df), F.col("_cum") >= rank)
+        .groupBy(*keys, "q")
+        .agg(F.min("_v").alias("value"))
+    )
+
+
 def exact_int_quantiles(
     df: DataFrame,
     col: str,
