@@ -1276,19 +1276,34 @@ def _q_doc_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, verified live against DuckDB `quantile_disc` (VERDICT r6
     #3: the one r6 operator family without a driver hash row).  The
     token-count expression is the same frozen ws split both engines
-    already agree on bit-exactly (txt_text_profile)."""
+    already agree on bit-exactly (txt_text_profile).
+
+    Two legs (r7): 'all' — whole-corpus quantiles (g = NULL); 'group'
+    — per-group quantiles over synthetic doc_id%7 groups via
+    exact_int_quantiles_by, whose per-(group, q) rank is computed
+    DISTRIBUTED in Catalyst decimal arithmetic (`_rank_expr`, the
+    disc_rank twin) — the per-language/per-source corpus-profile
+    shape, vs DuckDB quantile_disc GROUP BY."""
     from uk_ner_presidio_demo_spark.operators.quantiles import (
-        exact_int_quantiles,
+        exact_int_quantiles, exact_int_quantiles_by,
     )
 
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
     docs = read_tpch(spark, sf_dir, "documents")
     counts = docs.select(
+        F.pmod("doc_id", F.lit(7)).cast("long").alias("g"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-        .alias("n_tokens")
+        .alias("n_tokens"),
     )
-    return exact_int_quantiles(
-        counts, "n_tokens", [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
-    ).select(F.col("q"), F.col("value").cast("long").alias("value"))
+    allq = exact_int_quantiles(counts, "n_tokens", qs).select(
+        F.lit("all").alias("leg"), F.lit(None).cast("long").alias("g"),
+        "q", F.col("value").cast("long").alias("value"),
+    )
+    byg = exact_int_quantiles_by(counts, ["g"], "n_tokens", qs).select(
+        F.lit("group").alias("leg"), F.col("g"),
+        "q", F.col("value").cast("long").alias("value"),
+    )
+    return allq.unionByName(byg)
 
 
 def _q_tpch_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,19 +2283,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_quantiles": r"""
             WITH t AS (
-                SELECT CAST(length(regexp_split_to_array(trim(text),
+                SELECT doc_id % 7 AS g,
+                       CAST(length(regexp_split_to_array(trim(text),
                             '\s+')) AS BIGINT) AS n_tokens
                 FROM documents
                 WHERE text IS NOT NULL
             )
-            SELECT CAST(0.0 AS DOUBLE) AS q,
+            SELECT 'all' AS leg, CAST(NULL AS BIGINT) AS g,
+                   CAST(0.0 AS DOUBLE) AS q,
                    CAST(quantile_disc(n_tokens, 0.0) AS BIGINT) AS value
             FROM t
-            UNION ALL SELECT 0.25, quantile_disc(n_tokens, 0.25) FROM t
-            UNION ALL SELECT 0.5, quantile_disc(n_tokens, 0.5) FROM t
-            UNION ALL SELECT 0.9, quantile_disc(n_tokens, 0.9) FROM t
-            UNION ALL SELECT 0.99, quantile_disc(n_tokens, 0.99) FROM t
-            UNION ALL SELECT 1.0, quantile_disc(n_tokens, 1.0) FROM t
+            UNION ALL SELECT 'all', NULL, 0.25,
+                quantile_disc(n_tokens, 0.25) FROM t
+            UNION ALL SELECT 'all', NULL, 0.5,
+                quantile_disc(n_tokens, 0.5) FROM t
+            UNION ALL SELECT 'all', NULL, 0.9,
+                quantile_disc(n_tokens, 0.9) FROM t
+            UNION ALL SELECT 'all', NULL, 0.99,
+                quantile_disc(n_tokens, 0.99) FROM t
+            UNION ALL SELECT 'all', NULL, 1.0,
+                quantile_disc(n_tokens, 1.0) FROM t
+            UNION ALL SELECT 'group', g, 0.0,
+                quantile_disc(n_tokens, 0.0) FROM t GROUP BY g
+            UNION ALL SELECT 'group', g, 0.25,
+                quantile_disc(n_tokens, 0.25) FROM t GROUP BY g
+            UNION ALL SELECT 'group', g, 0.5,
+                quantile_disc(n_tokens, 0.5) FROM t GROUP BY g
+            UNION ALL SELECT 'group', g, 0.9,
+                quantile_disc(n_tokens, 0.9) FROM t GROUP BY g
+            UNION ALL SELECT 'group', g, 0.99,
+                quantile_disc(n_tokens, 0.99) FROM t GROUP BY g
+            UNION ALL SELECT 'group', g, 1.0,
+                quantile_disc(n_tokens, 1.0) FROM t GROUP BY g
         """,
         "tpch_window_topk": """
             SELECT o_custkey, o_orderkey, rn,
