@@ -1546,11 +1546,24 @@ def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Suri-Vassilvitskii MR-triangle shape, so hub keys are bounded
     by oriented out-degree).  Input is the ENGINE's canonical-triples
     plan; the oracle counts triangles over the hash-identical golden
-    parquet with an independent three-way normalized-edge self-join."""
-    from uk_ner_presidio_demo_spark.operators.graph import triangle_count
+    parquet with an independent three-way normalized-edge self-join.
 
-    ct = _q_canonical_triples(spark, sf_dir)
-    return triangle_count(ct.select("subj", "obj"))
+    r7 adds `n_core5_nodes`: the 5-core size (operators/graph.py
+    k_core — iterative peel, size-gated with set-identical local/
+    distributed strategies, tests/test_kcore.py) vs an UNROLLED
+    chained-CTE peel in DuckDB (the pagerank-oracle pattern; 8 rounds
+    >> the measured peel depth, and an unconverged unroll would
+    hash-mismatch, so convergence is itself verified on the KG
+    graph)."""
+    from uk_ner_presidio_demo_spark.operators.graph import (
+        k_core, triangle_count,
+    )
+
+    ct = _q_canonical_triples(spark, sf_dir).localCheckpoint(eager=True)
+    n_core5 = k_core(ct.select("subj", "obj"), 5).count()
+    return triangle_count(ct.select("subj", "obj")).withColumn(
+        "n_core5_nodes", F.lit(int(n_core5)).cast("long")
+    )
 
 
 def _q_events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1760,6 +1773,40 @@ SELECT doc_id,
 FROM toks JOIN counts USING (token)
 GROUP BY doc_id
 """
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Chained-CTE k-core peel over a CTE `e(u, v)` (the pagerank-
+    oracle unroll pattern — DuckDB's recursive CTEs disallow
+    aggregates in the recursive term).  Emits CTEs e0..e{rounds} and
+    `kfin` (the surviving node set); `rounds` must exceed the graph's
+    peel depth — an unconverged unroll produces a different count and
+    fails the driver hash, so convergence is itself checked."""
+    # AS MATERIALIZED is load-bearing: each round references its
+    # predecessor THREE times (FROM + two IN subqueries), so inlined
+    # CTEs blow up 3^rounds parquet scans ("Too many open files" at
+    # rounds=8); materialization bounds every CTE to one evaluation
+    parts = ["e0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""k{i} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT u AS node FROM {prev}
+                UNION ALL SELECT v FROM {prev}
+            ) GROUP BY node HAVING count(*) >= {k}
+        )""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+            SELECT u, v FROM {prev}
+            WHERE u IN (SELECT node FROM k{i})
+              AND v IN (SELECT node FROM k{i})
+        )""")
+        prev = f"e{i}"
+    parts.append(f"""kfin AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+        ) GROUP BY node HAVING count(*) >= {k}
+    )""")
+    return ", ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2095,7 +2142,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT least(subj, obj) AS u,
                                 greatest(subj, obj) AS v
                 FROM read_parquet('{gct}') WHERE subj <> obj
-            )
+            ), {_kcore_unrolled_sql(5, 8)}
             SELECT (SELECT count(*) FROM (
                         SELECT u AS node FROM e UNION SELECT v FROM e
                     )) AS n_nodes,
@@ -2104,7 +2151,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM e e1
                     JOIN e e2 ON e2.u = e1.v
                     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-                   ) AS n_triangles
+                   ) AS n_triangles,
+                   (SELECT count(*) FROM kfin) AS n_core5_nodes
         """,
         "events_asof_view": """
             WITH views AS (

@@ -303,6 +303,110 @@ def pagerank_oracle_sql(ct_parquet: str, k: int = 8) -> str:
     """
 
 
+# --- k-core of the undirected KG ------------------------------------------
+
+# Same physical-strategy gate family as CC / PageRank: small edge sets
+# peel driver-side, large ones run the distributed loop; the k-core of
+# a graph is UNIQUE (order-independent peeling), so the two strategies
+# are set-identical — exact-equality property test in
+# tests/test_kcore.py.
+KCORE_LOCAL_MAX_EDGES = 200_000
+
+
+def _local_k_core(edge_rows, k: int) -> set:
+    """Driver-local peel twin: repeatedly drop nodes with undirected
+    degree < k; returns the surviving node set (unique fixed point)."""
+    adj: dict = {}
+    for r in edge_rows:
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    alive = set(adj)
+    queue = [n for n in alive if len(adj[n]) < k]
+    while queue:
+        n = queue.pop()
+        if n not in alive:
+            continue
+        alive.discard(n)
+        for m in adj[n]:
+            if m in alive:
+                adj[m].discard(n)
+                if len(adj[m]) < k:
+                    queue.append(m)
+    return alive
+
+
+def k_core(edges: DataFrame, k: int,
+           max_iter: int = 50,
+           local_max_edges: int = KCORE_LOCAL_MAX_EDGES) -> DataFrame:
+    """Nodes of the k-core of the UNDIRECTED simple graph under a
+    (subj, obj) edge frame: the unique maximal subgraph where every
+    node keeps degree >= k after everything below is peeled away — the
+    standard KG noise filter (entities attached to the graph by fewer
+    than k distinct strong links drop out, however the peel is
+    ordered).  Returns (node) rows.
+
+    Scale shape: the distributed loop is degree-compute (one groupBy) +
+    node filter + edge semi-restriction per round — the CC pattern
+    (data-dependent loop, lineage cut per iteration, convergence check
+    via count).  Rounds are bounded by the peel DEPTH (degeneracy
+    ordering layers), which is small for real KGs; `max_iter` is the
+    explicit bound, and exceeding it raises rather than silently
+    returning a non-fixed-point.  Physical strategy is size-gated
+    (KCORE_LOCAL_MAX_EDGES): the k-core is unique, so local and
+    distributed peels agree exactly (property-tested)."""
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    und = (
+        edges.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("u"),
+            F.greatest("subj", "obj").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    if und.count() <= local_max_edges:
+        alive = sorted(_local_k_core(und.collect(), k))
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [T.StructField("node", und.schema["u"].dataType)]
+        )
+        return spark.createDataFrame([(n,) for n in alive], schema)
+
+    cur, n_cur = und, und.count()
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node") \
+            .localCheckpoint(eager=True)
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            # fixed point: a sub-k node with edges would have dropped
+            # them in the semi-restriction, so unchanged edge count
+            # means every remaining node already holds degree >= k
+            return keep.select(F.col("node"))
+        if n_nxt == 0:
+            return spark.createDataFrame([], keep.schema)
+        cur, n_cur = nxt, n_nxt
+    raise RuntimeError(
+        f"k_core: no fixed point within max_iter={max_iter} rounds — "
+        "raise max_iter (peel depth exceeds the bound)"
+    )
+
+
 # --- Triangle counting over the undirected KG ----------------------------
 
 def triangle_count(edges: DataFrame) -> DataFrame:
