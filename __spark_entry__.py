@@ -1360,15 +1360,25 @@ def _q_tpch_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W-4 sessionization: lag-window inter-event gaps + cumulative sum over
-    gap>30min boundaries -> per-user session ids (the classic two-window
-    composition; exposes gap_sec too, absorbing the former events_sessions
-    lag-only row into one board slot)."""
+    """W-4 sessionization, two legs:
+      'events'  — lag-window inter-event gaps + cumulative sum over
+                  gap>30min boundaries -> per-user session ids (the
+                  classic two-window composition; exposes gap_sec too,
+                  absorbing the former events_sessions lag-only row).
+      'windows' — Spark's NATIVE `session_window` aggregate (r7): the
+                  merging-window operator Structured Streaming uses for
+                  session state, run batch — per-user session bounds +
+                  event counts.  Boundary semantics differ from the lag
+                  leg BY DEFINITION (session_window splits at gap >=
+                  30 min — half-open [start, last+gap) windows — while
+                  the lag leg splits strictly greater); the oracle
+                  mirrors each leg's own rule, so both definitions are
+                  hash-pinned."""
     ev = read_tpch(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    return (
+    events_leg = (
         ev.withColumn("gap_sec", gap)
         .withColumn(
             "session_id",
@@ -1376,8 +1386,29 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ).cast("long"),
         )
-        .select("event_id", "user_id", "gap_sec", "session_id")
+        .select(
+            F.lit("events").alias("leg"), "event_id", "user_id",
+            "gap_sec", "session_id",
+            F.lit(None).cast("timestamp").alias("session_start"),
+            F.lit(None).cast("timestamp").alias("session_end"),
+            F.lit(None).cast("long").alias("n_events"),
+        )
     )
+    windows_leg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.lit("windows").alias("leg"),
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            F.lit(None).cast("long").alias("gap_sec"),
+            F.lit(None).cast("long").alias("session_id"),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    return events_leg.unionByName(windows_leg)
 
 
 def _q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2239,12 +2270,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % {LM_XMODEL_REF_MOD} <> 0
         """,
         "events_sessionize": """
-            SELECT event_id, user_id, gap_sec,
-                   CAST(sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS BIGINT) AS session_id
-            FROM (
+            WITH lagged AS (
                 SELECT event_id, user_id, ts,
                        CAST(floor(epoch(ts)) AS BIGINT) -
                        lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
@@ -2255,11 +2281,47 @@ def oracle_sql() -> dict[str, str]:
                             ) IS NULL
                             OR CAST(floor(epoch(ts)) AS BIGINT) -
                                lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
-                                   PARTITION BY user_id ORDER BY ts, event_id
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id
                                ) > 1800
-                       THEN 1 ELSE 0 END AS is_new
+                       THEN 1 ELSE 0 END AS is_new,
+                       -- native-session_window rule: split at gap >=
+                       -- 30 min (half-open windows) — deliberately a
+                       -- different boundary than is_new's strict >
+                       CASE WHEN lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                            OR ts - lag(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                               ) >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS is_new_w
                 FROM events
+            ),
+            ids AS (
+                SELECT *,
+                       sum(is_new_w) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW
+                       ) AS wid
+                FROM lagged
             )
+            SELECT 'events' AS leg, event_id, user_id, gap_sec,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id,
+                   CAST(NULL AS TIMESTAMP) AS session_start,
+                   CAST(NULL AS TIMESTAMP) AS session_end,
+                   CAST(NULL AS BIGINT) AS n_events
+            FROM lagged
+            UNION ALL
+            SELECT 'windows', CAST(NULL AS BIGINT), user_id,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   min(ts), max(ts) + INTERVAL 30 MINUTE,
+                   CAST(count(*) AS BIGINT)
+            FROM ids GROUP BY user_id, wid
         """,
         "kg_entity_type_counts": f"""
             SELECT entity_type,

@@ -212,3 +212,23 @@ def test_live_r5_r6_comparison_is_green():
     assert "by-design  ann_ivfpq_query_path" in out
     assert "by-design  doc_span_excise" in out
     assert "by-design  doc_partial_overlap" in out
+
+
+def test_parse_byte_conf_suffixes():
+    """ADVICE r6: '128m' must parse as 128 MiB, not 128 bytes — the
+    JVM byte-string suffix table, case-insensitive, bare digits =
+    bytes; unparseable -> None (caller falls back to the default)."""
+    from uk_ner_presidio_demo_spark.operators.partitioning import (
+        parse_byte_conf,
+    )
+
+    assert parse_byte_conf("134217728") == 134217728
+    assert parse_byte_conf("128m") == 128 << 20
+    assert parse_byte_conf("128MB") == 128 << 20
+    assert parse_byte_conf(" 1g ") == 1 << 30
+    assert parse_byte_conf("64k") == 64 << 10
+    assert parse_byte_conf("2tb") == 2 << 40
+    assert parse_byte_conf("7b") == 7
+    assert parse_byte_conf("nope") is None
+    assert parse_byte_conf("128x") is None
+    assert parse_byte_conf("") is None
