@@ -120,3 +120,17 @@ def test_plan_hygiene(spark, sf001):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_numeric_column_roundtrip(spark):
+    """The MG kernel emits an object-dtype key series — numeric columns
+    must round-trip through Arrow back to their declared type."""
+    df = spark.createDataFrame(
+        [(i % 5,) for i in range(100)] + [(None,)], "x long"
+    ).repartition(4)
+    got = sorted(
+        map(tuple, exact_heavy_hitters(df, "x", 0.15).collect())
+    )
+    assert got == [(v, 20) for v in range(5)]
+    assert dict(exact_heavy_hitters(df, "x", 0.15).dtypes)["value"] \
+        == "bigint"
