@@ -666,25 +666,17 @@ def _q_txt_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sum and the scored count (the operator's inner join),
                  which this leg hash-verifies against the oracle's
                  equivalent join-drop."""
-    from uk_ner_presidio_demo_spark.operators.lm import (
-        lm_bigram_model, lm_score_docs,
-    )
+    from uk_ner_presidio_demo_spark.operators.lm import lm_score_two_legs
     from uk_ner_presidio_demo_spark.oracle.docs_golden import (
         LM_XMODEL_REF_MOD,
     )
 
     docs = read_tpch(spark, sf_dir, "documents")
-    self_leg = lm_score_docs(docs).select(
-        F.lit("self").alias("leg"), "doc_id", "n_bigrams", "lp_sum_fp",
-        "keep",
-    )
-    is_ref = F.col("doc_id") % LM_XMODEL_REF_MOD == 0
-    model = lm_bigram_model(docs.filter(is_ref))
-    x_leg = lm_score_docs(docs.filter(~is_ref), model=model).select(
-        F.lit("xmodel").alias("leg"), "doc_id", "n_bigrams", "lp_sum_fp",
-        "keep",
-    )
-    return self_leg.unionByName(x_leg)
+    # r8 optimization: the fused two-leg scorer — 2 corpus scans + 1
+    # bounded ilog collect instead of the 4 scans + 2 collects the
+    # composed lm_score_docs calls cost; row-identical by construction
+    # (test_lm.py fused-vs-composed gate + the driver hash).
+    return lm_score_two_legs(docs, LM_XMODEL_REF_MOD)
 
 
 def _q_doc_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from uk_ner_presidio_demo_spark.operators.lm import (
-    bigram_stream, lm_bigram_model, lm_score_docs,
+    bigram_stream, lm_bigram_model, lm_score_docs, lm_score_two_legs,
 )
 from uk_ner_presidio_demo_spark.semantics.lm import (
     LM_KEEP_MIN_AVG_FP, doc_bigrams, ilog_fp, ilog_values, lm_scores,
@@ -124,6 +124,30 @@ def test_external_model_shape(spark, tiny):
     assert got == want
     # 101 has no in-model bigrams -> scored as zero-bigram (keep)
     assert got[101] == (0, 0, True)
+
+
+@pytest.mark.parametrize("ref_mod", [2, 5, 7])
+def test_fused_two_legs_equals_composed(spark, sf001, ref_mod):
+    """The r8 fused board query (one count pass + one scoring pass) must
+    be ROW-IDENTICAL to the composed form it replaced: self =
+    lm_score_docs(docs); xmodel = lm_score_docs(~ref split, model
+    trained on the ref split).  Covers the join-drop semantics (null
+    lp_ref == out-of-ref-model), the zero-bigram rejoin, and the keep
+    threshold, at several split moduli."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    is_ref = F.col("doc_id") % ref_mod == 0
+    self_leg = lm_score_docs(docs).select(
+        F.lit("self").alias("leg"), "doc_id", "n_bigrams", "lp_sum_fp",
+        "keep",
+    )
+    model = lm_bigram_model(docs.filter(is_ref))
+    x_leg = lm_score_docs(docs.filter(~is_ref), model=model).select(
+        F.lit("xmodel").alias("leg"), "doc_id", "n_bigrams", "lp_sum_fp",
+        "keep",
+    )
+    composed = sorted(map(tuple, self_leg.unionByName(x_leg).collect()))
+    fused = sorted(map(tuple, lm_score_two_legs(docs, ref_mod).collect()))
+    assert fused == composed
 
 
 def test_ilog_lookup_is_bounded(spark, sf001):

@@ -54,10 +54,13 @@ def near_contamination(train: DataFrame, test: DataFrame,
     """(test_doc_id, train_doc_id, jaccard_r6) for near-duplicate leakage:
     MinHash band blocking ACROSS corpora + exact-Jaccard verify on the
     candidate pairs only."""
-    tb = _band_rows(test).withColumnRenamed("doc_id", "test_doc_id") \
-        .localCheckpoint(eager=True)
-    rb = _band_rows(train).withColumnRenamed("doc_id", "train_doc_id") \
-        .localCheckpoint(eager=True)
+    # No localCheckpoint here (r8): unlike the dedup SELF-join, each band
+    # frame is consumed exactly once by the cross-corpus join, so the
+    # kernels run once either way — the former eager cuts were two
+    # blocking jobs of pure overhead (~1.6 s at sf1) and serialized the
+    # two band passes instead of letting one job schedule both scans.
+    tb = _band_rows(test).withColumnRenamed("doc_id", "test_doc_id")
+    rb = _band_rows(train).withColumnRenamed("doc_id", "train_doc_id")
     cand = tb.join(rb, ["band", "bhash"]).select(
         "test_doc_id", "train_doc_id"
     ).distinct()

@@ -132,6 +132,114 @@ def lm_model_top(model: DataFrame, max_bigrams: int) -> list[tuple]:
     ]
 
 
+def lm_score_two_legs(docs: DataFrame, ref_mod: int) -> DataFrame:
+    """The fused self+xmodel board query (r8 optimization): one corpus
+    bigram-count pass builds BOTH models, one scoring pass aggregates
+    BOTH legs — 2 corpus scans total instead of the 4 the two
+    lm_score_docs calls cost (each leg re-derived the split->slice->
+    zip->explode bigram stream for its model AND its scoring join),
+    and 1 bounded ilog collect instead of 2.
+
+    Output is row-identical to
+        self  : lm_score_docs(docs)
+        xmodel: lm_score_docs(docs.filter(~ref), model=lm_bigram_model(
+                    docs.filter(ref)))
+    because (a) count_if(doc_id % ref_mod == 0) over the one bigram
+    stream equals the ref-split stream's counts, (b) lp_fp stays
+    ilog_fp(c2) - ilog_fp(c1) per model in BIGINT, and (c) the xmodel
+    inner-join drop is reproduced by null-skipping count/sum over the
+    lp_ref column (null exactly when the bigram is out of the ref
+    model).  Equivalence is pinned by test_lm.py's fused-vs-composed
+    test; the driver hash is the end gate."""
+    is_ref_doc = F.col("doc_id") % ref_mod == 0
+    counts = bigram_stream(docs).groupBy("w1", "w2").agg(
+        F.count("*").alias("_c2a"),
+        F.sum(is_ref_doc.cast("long")).alias("_c2r"),
+    ).localCheckpoint(eager=True)  # ONE corpus count pass, many consumers
+    c1a = counts.groupBy("w1").agg(F.sum("_c2a").alias("_c1a"))
+    c1r = counts.filter(F.col("_c2r") > 0).groupBy("w1").agg(
+        F.sum("_c2r").alias("_c1r")
+    )
+    # one bounded collect covering every count VALUE either model needs
+    # (sqrt(2N) argument, module docstring)
+    vals = sorted(
+        r["v"]
+        for r in counts.select(F.col("_c2a").alias("v"))
+        .union(counts.filter(F.col("_c2r") > 0)
+               .select(F.col("_c2r").alias("v")))
+        .union(c1a.select(F.col("_c1a").alias("v")))
+        .union(c1r.select(F.col("_c1r").alias("v")))
+        .distinct()
+        .collect()
+    )
+    spark = docs.sparkSession
+    ilog = spark.createDataFrame(
+        [(int(v), ilog_fp(int(v))) for v in vals], "k long, ilog_fp long"
+    )
+
+    def _il(key: str, out: str) -> DataFrame:
+        return F.broadcast(ilog.select(
+            F.col("k").alias(key), F.col("ilog_fp").alias(out)
+        ))
+
+    model = (
+        counts.join(c1a, "w1")
+        .join(c1r, "w1", "left")
+        .join(_il("_c2a", "_il2a"), "_c2a")
+        .join(_il("_c1a", "_il1a"), "_c1a")
+        .join(_il("_c2r", "_il2r"), "_c2r", "left")
+        .join(_il("_c1r", "_il1r"), "_c1r", "left")
+        .select(
+            "w1",
+            "w2",
+            (F.col("_il2a") - F.col("_il1a")).alias("_lp_self"),
+            F.when(
+                F.col("_c2r") > 0, F.col("_il2r") - F.col("_il1r")
+            ).alias("_lp_ref"),
+        )
+    )
+    per_doc = (
+        bigram_stream(docs)  # the ONE scoring pass
+        .join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_n_self"),
+            F.sum("_lp_self").alias("_lp_sum_self"),
+            F.count("_lp_ref").alias("_n_ref"),
+            F.sum("_lp_ref").alias("_lp_sum_ref"),
+        )
+    )
+    legs = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .withColumn(
+            "leg",
+            F.explode(
+                F.when(is_ref_doc, F.array(F.lit("self"))).otherwise(
+                    F.array(F.lit("self"), F.lit("xmodel"))
+                )
+            ),
+        )
+    )
+    is_self = F.col("leg") == "self"
+    n = F.coalesce(
+        F.when(is_self, F.col("_n_self")).otherwise(F.col("_n_ref")),
+        F.lit(0).cast("long"),
+    )
+    lp = F.coalesce(
+        F.when(is_self, F.col("_lp_sum_self")).otherwise(F.col("_lp_sum_ref")),
+        F.lit(0).cast("long"),
+    )
+    thr = F.lit(LM_KEEP_MIN_AVG_FP).cast("long")
+    return legs.select(
+        "leg",
+        "doc_id",
+        n.alias("n_bigrams"),
+        lp.alias("lp_sum_fp"),
+        ((n == 0) | (lp >= thr * n)).alias("keep"),
+    )
+
+
 def lm_score_docs(docs: DataFrame, model: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_bigrams, lp_sum_fp, keep) per document.
 

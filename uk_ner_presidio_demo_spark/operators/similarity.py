@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from ..semantics.docsim import (
     ANN_K, ANN_Q, ANN_Q_MOD, EMB_NEARDUP_COS, IVF_NPROBE, KMEANS_ITERS,
-    KMEANS_K, cosine_matrix, ivf_cell, ivf_probe_cells, kmeans_assign,
+    KMEANS_K, cosine_matrix, ivf_probe_cells, kmeans_assign,
     kmeans_centroid_from_sums, kmeans_quantize, rp_bucket,
 )
 
@@ -43,6 +43,14 @@ _SCORED_SCHEMA = T.StructType(
         T.StructField("sim", T.DoubleType()),
     ]
 )
+
+
+def _emb_matrix(col: "pd.Series") -> "np.ndarray":
+    """(n, dim) float64 matrix from an Arrow embedding column — one
+    np.stack instead of the per-element [float(x) for x in v] double
+    loop (r8: the row-wise conversion was the dominant kernel cost at
+    sf1 — pure conversion, no arithmetic, so values are bit-identical)."""
+    return np.stack(col.to_numpy()).astype(np.float64, copy=False)
 
 
 def _collect_queries(emb: DataFrame) -> tuple[list[int], "np.ndarray"]:
@@ -78,17 +86,14 @@ def _topk_scored(emb: DataFrame, qids: list[int], qmat: "np.ndarray",
             if not len(pdf):
                 continue
             cids = pdf["vec_id"].to_numpy()
-            cmat = np.array(
-                [[float(x) for x in v] for v in pdf["embedding"]],
-                dtype=np.float64,
-            )
+            cmat = _emb_matrix(pdf["embedding"])
             sims = scorer(cmat) if scorer is not None \
                 else cosine_matrix(qmat, cmat)  # (nc, nq)
             if qbuckets is not None:
-                cbuckets = np.array(
-                    [rp_bucket([float(x) for x in v])
-                     for v in pdf["embedding"]]
-                )
+                # rp_bucket stays the scalar sequential fold (frozen sign
+                # semantics shared with the oracle); numpy float64 scalars
+                # go through the same IEEE ops as python floats
+                cbuckets = np.array([rp_bucket(v) for v in cmat])
             out = []
             for qi, qid in enumerate(qids):
                 col = sims[:, qi]
@@ -178,15 +183,21 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = ANN_K,
         PQ_TRAIN_SAMPLE, pq_adc_cosine, pq_encode, pq_train,
     )
 
-    cent = kmeans_centroids_distributed(emb)
-    sample_rows = (
+    # ONE head-sample collect feeds both trainers (r8): the k-means init
+    # is the embeddings of the KMEANS_K smallest vec_ids — exactly the
+    # first KMEANS_K rows of the vec_id-ascending PQ training sample
+    # (PQ_TRAIN_SAMPLE >= KMEANS_K), so passing the slice is the same
+    # matrix with one TakeOrdered job fewer.
+    sample_rows = sorted(
         emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE)
-        .select("embedding").collect()
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
     )
     sample = np.array(
         [[float(x) for x in r.embedding] for r in sample_rows],
         dtype=np.float64,
     )
+    cent = kmeans_centroids_distributed(emb, init=sample[:KMEANS_K])
     books = pq_train(sample)
     # collect the query set ONCE and pass it through explicitly — the
     # scorer's qmat and the probe sets must come from the same collect
@@ -224,15 +235,15 @@ def pq_encode_table(emb: DataFrame, books: "np.ndarray",
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.array(
-                [[float(x) for x in v] for v in pdf["embedding"]],
-                dtype=np.float64,
-            )
+            vecs = _emb_matrix(pdf["embedding"])
             codes = pq_encode(vecs, books)
             if centroids is not None:
-                cells = [int(ivf_cell([float(x) for x in v],
-                                      centroids=centroids))
-                         for v in vecs]
+                # batch coarse assignment (r8): kmeans_assign is the
+                # argmax-first batch twin of per-row ivf_cell (same
+                # cosine_matrix, shape-independent einsum accumulation;
+                # same lowest-cell tie rule) — the per-row loop paid one
+                # einsum call per vector
+                cells = [int(c) for c in kmeans_assign(centroids, vecs)]
             else:
                 cells = [None] * len(vecs)
             yield pd.DataFrame(
@@ -257,15 +268,18 @@ def build_pq_index(emb: DataFrame, nprobe: int = IVF_NPROBE) -> dict:
     of this call touches no raw embedding data."""
     from ..semantics.pq import PQ_TRAIN_SAMPLE, pq_train
 
-    cent = kmeans_centroids_distributed(emb)
-    sample_rows = (
+    # one head-sample collect feeds both trainers (see ann_topk_ivfpq)
+    sample_rows = sorted(
         emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE)
-        .select("embedding").collect()
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
     )
-    books = pq_train(
-        np.array([[float(x) for x in r.embedding] for r in sample_rows],
-                 dtype=np.float64)
+    sample = np.array(
+        [[float(x) for x in r.embedding] for r in sample_rows],
+        dtype=np.float64,
     )
+    cent = kmeans_centroids_distributed(emb, init=sample[:KMEANS_K])
+    books = pq_train(sample)
     codes_df = pq_encode_table(emb, books, centroids=cent) \
         .localCheckpoint(eager=True)
     qids, qmat = _collect_queries(emb)
@@ -332,23 +346,34 @@ def ann_topk_pq_index(index: dict, k: int = ANN_K) -> DataFrame:
     )
 
 
-def kmeans_centroids_distributed(emb: DataFrame) -> "np.ndarray":
+def kmeans_centroids_distributed(emb: DataFrame,
+                                 init: "np.ndarray | None" = None
+                                 ) -> "np.ndarray":
     """Deterministic distributed Lloyd training (semantics.docsim kmeans_*):
     per iteration ONE mapInPandas pass emits per-cell partial int64
     quantized sums (map-side combine), a tiny (cell, dim) shuffle sum
     finishes them exactly — integer addition is order-independent, so the
     result is bit-identical to the single-process oracle trainer
     regardless of partitioning.  Only K x dim aggregated values ever reach
-    the driver; at 100 TB this is the standard two-phase agg shape."""
-    init_rows = sorted(
-        emb.select("vec_id", "embedding").orderBy("vec_id")
-        .limit(KMEANS_K).collect(),
-        key=lambda r: r.vec_id,
-    )
-    cent = np.array(
-        [[float(x) for x in r.embedding] for r in init_rows],
-        dtype=np.float64,
-    )
+    the driver; at 100 TB this is the standard two-phase agg shape.
+
+    `init` (optional, r8): the (KMEANS_K, dim) float64 init matrix — the
+    embeddings of the KMEANS_K smallest vec_ids.  Callers that already
+    hold the vec_id-ascending head sample (the PQ trainers) pass its
+    first KMEANS_K rows and skip this function's TakeOrdered collect —
+    same matrix by construction, one driver round-trip fewer."""
+    if init is not None:
+        cent = np.asarray(init, dtype=np.float64).copy()
+    else:
+        init_rows = sorted(
+            emb.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(KMEANS_K).collect(),
+            key=lambda r: r.vec_id,
+        )
+        cent = np.array(
+            [[float(x) for x in r.embedding] for r in init_rows],
+            dtype=np.float64,
+        )
     for _ in range(KMEANS_ITERS):
         frozen = cent  # ships in the kernel closure (a broadcast)
 
@@ -356,7 +381,7 @@ def kmeans_centroids_distributed(emb: DataFrame) -> "np.ndarray":
             for pdf in batches:
                 if not len(pdf):
                     continue
-                vecs = [[float(x) for x in v] for v in pdf["embedding"]]
+                vecs = _emb_matrix(pdf["embedding"])
                 cells = kmeans_assign(frozen, vecs)
                 qm = kmeans_quantize(vecs)
                 rows = []
@@ -420,14 +445,17 @@ def ann_topk_ivf(emb: DataFrame, k: int = ANN_K,
                 if not len(pdf):
                     continue
                 cids = pdf["vec_id"].to_numpy()
-                cmat = np.array(
-                    [[float(x) for x in v] for v in pdf["embedding"]],
+                cmat = _emb_matrix(pdf["embedding"])
+                # batch coarse assignment — argmax-first twin of per-row
+                # ivf_cell (see pq_encode_table); seeded centroids when
+                # no trained ones are passed
+                from ..semantics.docsim import IVF_CENTROIDS
+
+                cents = np.asarray(
+                    IVF_CENTROIDS if centroids is None else centroids,
                     dtype=np.float64,
                 )
-                cells = np.array(
-                    [ivf_cell([float(x) for x in v], centroids=centroids)
-                     for v in pdf["embedding"]]
-                )
+                cells = kmeans_assign(cents, cmat)
                 sims = scorer(cmat) if scorer is not None \
                     else cosine_matrix(qmat, cmat)
                 out = []
@@ -484,8 +512,11 @@ def _emb_block_rows(emb: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            # emb_block_keys stays the scalar sequential fold (frozen
+            # sign semantics); numpy float64 elements go through the
+            # same IEEE ops as the former [float(x) ...] copies
             for vec_id, vec in zip(pdf["vec_id"], pdf["embedding"]):
-                for tbl, bucket in emb_block_keys([float(x) for x in vec]):
+                for tbl, bucket in emb_block_keys(vec):
                     rows.append((int(vec_id), tbl, bucket))
             yield pd.DataFrame(rows, columns=["vec_id", "tbl", "bucket"])
 
@@ -528,10 +559,8 @@ def emb_neardup_lsh(emb: DataFrame,
         for pdf in batches:
             if not len(pdf):
                 continue
-            amat = np.array([[float(x) for x in v] for v in pdf["emb_a"]],
-                            dtype=np.float64)
-            bmat = np.array([[float(x) for x in v] for v in pdf["emb_b"]],
-                            dtype=np.float64)
+            amat = _emb_matrix(pdf["emb_a"])
+            bmat = _emb_matrix(pdf["emb_b"])
             cos = cosine_pairs(amat, bmat)
             out = pd.DataFrame(
                 {
@@ -563,10 +592,7 @@ def emb_neardup(emb: DataFrame, threshold: float = EMB_NEARDUP_COS) -> DataFrame
             if not len(pdf):
                 continue
             cids = pdf["vec_id"].to_numpy()
-            cmat = np.array(
-                [[float(x) for x in v] for v in pdf["embedding"]],
-                dtype=np.float64,
-            )
+            cmat = _emb_matrix(pdf["embedding"])
             sims = cosine_matrix(all_mat, cmat)  # (batch, n_all)
             out = []
             for bi in range(sims.shape[0]):

@@ -322,6 +322,14 @@ def simhash64_batch(texts, chunk: int = 2048) -> "list[int]":
     import numpy as np
 
     out = [0] * len(texts)
+    # per-call distinct-token memo (r8): blake2b runs once per DISTINCT
+    # token instead of once per occurrence — corpora repeat tokens
+    # heavily, so this drops the dominant per-token hashing cost; pure
+    # memoization of a pure function, outputs unchanged (the
+    # scalar-equivalence property tests are the tripwire).  Lifetime is
+    # one call, so memory is bounded by the batch vocabulary.
+    hmemo: dict[str, int] = {}
+    _hash64 = _token_hash64
     for c0 in range(0, len(texts), chunk):
         sub = texts[c0:c0 + chunk]
         tok_hashes: list[int] = []
@@ -333,7 +341,12 @@ def simhash64_batch(texts, chunk: int = 2048) -> "list[int]":
                 continue  # empty token list -> simhash 0 (never positive)
             nonempty.append(i)
             ne_starts.append(len(tok_hashes))
-            tok_hashes.extend(_token_hash64(t) for t in toks)
+            for t in toks:
+                h = hmemo.get(t)
+                if h is None:
+                    h = _hash64(t)
+                    hmemo[t] = h
+                tok_hashes.append(h)
         if not tok_hashes:
             continue
         hs = np.array(tok_hashes, dtype=np.uint64)
