@@ -315,14 +315,25 @@ def _q_kg_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "change_kind",
     )
 
-    pdf = ct.select(
-        "subj", "pred", "obj", is_prev.alias("_p")
-    ).toPandas()
     src = Path(_tmpdir("edge_maint_src_"))
     root = Path(_tmpdir("edge_maint_snap_"))
     ck = _tmpdir("ck_edge_maint_")
     cols = ["subj", "pred", "obj"]
-    pdf[pdf["_p"]][cols].to_parquet(src / "b0.parquet", index=False)
+
+    def _land(batch_df, tag: str) -> None:
+        """Write one source batch with SPARK (VERDICT r7 #5: the former
+        driver toPandas() collected every canonical triple and grew
+        linearly with sf) and move the part files into the flat stream
+        dir the file source watches.  A Spark parquet write always
+        carries the string schema, so an empty split can't produce the
+        null-typed parquet that kills string-schema file streams
+        (ADVICE r7 / CLAUDE.md all-None-object-column gotcha)."""
+        stage = Path(_tmpdir("edge_maint_stage_")) / tag
+        batch_df.select(*cols).coalesce(1).write.parquet(str(stage))
+        for i, f in enumerate(sorted(stage.glob("part-*.parquet"))):
+            f.rename(src / f"{tag}_{i}.parquet")
+
+    _land(ct.filter(is_prev), "b0")
 
     def _stream():
         return spark.readStream.schema(
@@ -333,7 +344,7 @@ def _q_kg_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the RESUMED checkpoint folds it as batch 1 — the continuous-KG
     # maintenance loop, two publishes deep
     run_edge_maintenance(_stream(), root, ck)
-    pdf[~pdf["_p"]][cols].to_parquet(src / "b1.parquet", index=False)
+    _land(ct.filter(~is_prev), "b1")
     run_edge_maintenance(_stream(), root, ck)
     stream_leg = read_snapshot(spark, root).select(
         F.lit("stream").alias("leg"), "subj", "pred", "obj",

@@ -367,7 +367,8 @@ def k_core(edges: DataFrame, k: int,
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
-    if und.count() <= local_max_edges:
+    n_und = und.count()  # one action: gates the strategy AND seeds the loop
+    if n_und <= local_max_edges:
         alive = sorted(_local_k_core(und.collect(), k))
         import pyspark.sql.types as T
 
@@ -376,7 +377,7 @@ def k_core(edges: DataFrame, k: int,
         )
         return spark.createDataFrame([(n,) for n in alive], schema)
 
-    cur, n_cur = und, und.count()
+    cur, n_cur = und, n_und
     for _ in range(max_iter):
         deg = (
             cur.select(F.col("u").alias("node"))

@@ -111,10 +111,17 @@ def exact_heavy_hitters(
         .agg(F.count("*").alias("n_occurrences"))
     )
     total = vals.count()
-    # integer threshold: count * den > num * total  <=>  count/total > phi
+    # integer threshold: count * den > num * total  <=>  count/total > phi.
+    # The num*total product is computed in PYTHON (exact bigint) and fed
+    # as one literal: two int32-sized lits would multiply as int32 and
+    # overflow under ANSI past ~2^31/num rows (ADVICE r7 — the 'rank
+    # literal x 85' bug class); lit() auto-widens the product to long.
+    # n_occurrences * den stays in Spark: n_occurrences <= total is only
+    # known at runtime, and den <= MAX_CAPACITY keeps it in int64 range
+    # for any total below ~2^63/den rows.
     keep = (
-        counts["n_occurrences"] * F.lit(int(frac.denominator))
-        > F.lit(int(frac.numerator)) * F.lit(int(total))
+        counts["n_occurrences"] * F.lit(int(frac.denominator)).cast("long")
+        > F.lit(int(frac.numerator) * int(total))
     )
     return counts.filter(keep).select(
         F.col("_v").alias("value"), "n_occurrences"
