@@ -57,10 +57,15 @@ def test_repetition_keep_drops_only_spam(spark):
 
 
 def test_repetition_plan_is_single_crossing_no_shuffle(spark, sf01):
+    """ONE Arrow crossing; the only allowed Exchange is the fanout
+    round-robin spread of an under-split file scan (r8 — see
+    tests/test_scrub.py twin gate), never a hash/range shuffle."""
     df = repetition_stats(read_tpch(spark, sf01, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == plan.count("RoundRobinPartitioning")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 FREQ_ORACLE_SQL = FREQ_PROFILE_ORACLE_SQL

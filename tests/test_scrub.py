@@ -56,10 +56,17 @@ def test_kernel_matches_python_twin_on_corpus(spark, sf01):
 
 
 def test_plan_is_single_crossing_no_shuffle(spark, sf01):
+    """ONE Arrow crossing; the only allowed Exchange is the fanout
+    round-robin spread of an under-split file scan (r8 — the
+    partitioning.py input-parallelism guard; it disappears on
+    already-wide scans, so a 100-TB input stays exchange-free), never a
+    hash/range shuffle."""
     df = scrub_documents(read_tpch(spark, sf01, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == plan.count("RoundRobinPartitioning")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_scrub_is_idempotent_on_corpus(sf01):

@@ -93,6 +93,7 @@ def partial_overlap_with_metrics(
     docs: DataFrame, min_shared: int = MIN_SHARED_CHUNKS,
     max_chunk_df: int | None = None,
     max_chunk_df_frac: float = MAX_CHUNK_DF_FRAC,
+    _with_metrics: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, metrics): pairs is (doc_a, doc_b, shared_chunks) for pairs
     sharing >= min_shared distinct RARE chunk fingerprints; metrics is a
@@ -109,7 +110,12 @@ def partial_overlap_with_metrics(
         doc_chunks(docs).select("doc_id", "chunk_hash").distinct()
         .localCheckpoint(eager=True)  # kernel once; every branch reuses
     )
-    df_counts = ch.groupBy("chunk_hash").count().localCheckpoint(eager=True)
+    df_counts = ch.groupBy("chunk_hash").count()
+    if _with_metrics:
+        # two consumers (rare + the metrics agg) -> cut once; the
+        # pairs-only path has a single consumer and skips the blocking
+        # materialization job (r8)
+        df_counts = df_counts.localCheckpoint(eager=True)
     # n_docs counts the INPUT frame, not docs-with-chunks (ADVICE r4):
     # the oracle derives the fraction cap from len(texts), so a corpus
     # with empty/whitespace-only documents must use the same denominator
@@ -154,10 +160,12 @@ def partial_overlap_pairs(docs: DataFrame, min_shared: int = MIN_SHARED_CHUNKS,
                           max_chunk_df: int | None = None,
                           max_chunk_df_frac: float = MAX_CHUNK_DF_FRAC,
                           ) -> DataFrame:
-    """Pairs-only view of partial_overlap_with_metrics (same semantics)."""
+    """Pairs-only view of partial_overlap_with_metrics (same semantics);
+    skips the metrics-side materialization the discarded frame would
+    pay for (r8)."""
     pairs, _ = partial_overlap_with_metrics(
         docs, min_shared=min_shared, max_chunk_df=max_chunk_df,
-        max_chunk_df_frac=max_chunk_df_frac,
+        max_chunk_df_frac=max_chunk_df_frac, _with_metrics=False,
     )
     return pairs
 
@@ -220,6 +228,11 @@ def _apply_cuts(docs: DataFrame, cuts: DataFrame) -> DataFrame:
                 else:
                     ranges = [(int(r["start_tok"]), int(r["end_tok"]))
                               for r in cut]
+                if not ranges:
+                    # the dominant no-cut case skips the drop-set walk
+                    # (r8); output identical — zero ranges drop nothing
+                    rows.append((int(doc_id), len(toks), 0, " ".join(toks)))
+                    continue
                 drop = set()
                 for s, e in ranges:
                     drop.update(range(s, e))

@@ -65,7 +65,12 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
                          "n_2grams", "top_2gram_frac"],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    from .partitioning import fanout
+
+    # fanout (r8): per-doc output is partitioning-independent; without
+    # the spread a few-file corpus runs this n-gram kernel on one task
+    # per file (partitioning.py)
+    return fanout(docs.select("doc_id", "text")).mapInPandas(
         kernel, REPETITION_SCHEMA
     )
 

@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 
 from ..semantics.anonymize import splice
 from ..semantics.detect import detect_mentions_batch
+from .partitioning import fanout
 
 SCRUB_SCHEMA = T.StructType(
     [
@@ -54,4 +55,9 @@ def scrub_documents(docs: DataFrame,
                 rows, columns=["doc_id", "n_pii", "scrubbed_text"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(kernel, SCRUB_SCHEMA)
+    # fanout (r8): the detection kernel is the most CPU-expensive Arrow
+    # pass in the repo, and a few-file corpus scan otherwise caps it at
+    # one task per file (the r5 simhash fragility class; partitioning.py)
+    return fanout(docs.select("doc_id", "text")).mapInPandas(
+        kernel, SCRUB_SCHEMA
+    )
