@@ -33,8 +33,13 @@ TRIPLES_SCHEMA = T.StructType(
     ]
 )
 
-_MENTION_COLS = ["mention_idx", "entity_type", "start", "end", "score",
-                 "surface", "norm_surface"]
+# Only the Mention fields the rule kernel actually reads cross the
+# cogroup shuffle (r8, guide-§2.3 project-before-exchange):
+# entity_type/norm_surface (refs), start (contacts_via tie-break), and
+# mention_idx (deterministic per-turn ordering).  end/score/surface are
+# never consumed by emit_triples_for_conv — surface strings were the
+# fattest shuffled column.
+_MENTION_COLS = ["mention_idx", "entity_type", "start", "norm_surface"]
 
 # ~64 KB of transcript parquet per cogroup key ≈ 1.4k turns/bucket at
 # this corpus's bytes/turn — the measured flat spot at BOTH sf0.1 and
@@ -93,10 +98,12 @@ def emit_triples(transcripts: DataFrame, mentions: DataFrame,
                     ["turn_idx", "mention_idx"]
                 ).itertuples(index=False):
                     by_turn.setdefault(int(row.turn_idx), []).append(
+                        # end/score/surface are placeholders: the rule
+                        # kernel never reads them (see _MENTION_COLS)
                         Mention(
                             int(row.mention_idx), row.entity_type,
-                            int(row.start), int(row.end), float(row.score),
-                            row.surface, row.norm_surface,
+                            int(row.start), 0, 0.0,
+                            "", row.norm_surface,
                         )
                     )
             out = emit_triples_for_conv(conv_id, turns, by_turn, window)
