@@ -63,9 +63,13 @@ def decode_features(media: DataFrame) -> DataFrame:
                 feats, columns=["media_id", "media_type", "feat"]
             )
 
-    return media.select("media_id", "media_type", "payload").mapInPandas(
-        kernel, FEATURES_SCHEMA
-    )
+    from .partitioning import fanout
+
+    # fanout (r8): a few-file media table otherwise caps the decode
+    # kernel at one task per file (partitioning.py); per-row output is
+    # partitioning-independent
+    return fanout(media.select("media_id", "media_type", "payload")) \
+        .mapInPandas(kernel, FEATURES_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_dim: int = 512) -> DataFrame:

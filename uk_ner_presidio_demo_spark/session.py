@@ -32,6 +32,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r8 (guide §3.1): let the planner pick shuffled-hash join when
+        # its size conditions fit (no sort on either side), and let AQE
+        # rewrite a planned sort-merge to shuffled-hash when every
+        # post-shuffle partition is under 64 MB — bounded build side, so
+        # the SHJ OOM risk stays capped at any corpus size.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "67108864")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.python.worker.reuse", "true")
