@@ -263,9 +263,16 @@ def _q_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = read_transcripts(spark, sf_dir)
     # lineage cut: `m` feeds BOTH link_entities (consumed eagerly into the
     # distinct-entities checkpoint) and emit_triples — without it the
-    # detection kernel runs twice (the r2 cooccurrence defect, VERDICT #3)
+    # detection kernel runs twice (the r2 cooccurrence defect, VERDICT #3).
+    # r8: checkpoint only the columns those two consumers read
+    # (link_entities: entity_type+norm_surface; emit_triples:
+    # + conv_id/turn_idx/mention_idx/start) — surface/end/score strings
+    # were dead weight in the materialized rows.
     m = mentions_from_turns(
         detect_turns(tr, with_anonymized=False)
+    ).select(
+        "conv_id", "turn_idx", "mention_idx", "entity_type", "start",
+        "norm_surface",
     ).localCheckpoint(eager=True)
     nodes, edges = link_entities(m, read_aliases(spark))
     canon = canonical_nodes(nodes, edges)
