@@ -94,17 +94,20 @@ def emit_triples(transcripts: DataFrame, mentions: DataFrame,
             by_turn: dict[int, list[Mention]] = {}
             msub = ment_by_conv.get(conv_id)
             if msub is not None:
-                for row in msub.sort_values(
-                    ["turn_idx", "mention_idx"]
-                ).itertuples(index=False):
-                    by_turn.setdefault(int(row.turn_idx), []).append(
+                # column-wise zip instead of itertuples (r8: ~15% less
+                # kernel wall, output-identical — A/B in the round log)
+                msub = msub.sort_values(["turn_idx", "mention_idx"])
+                for ti, mi, et, st, ns in zip(
+                    msub["turn_idx"].to_numpy(),
+                    msub["mention_idx"].to_numpy(),
+                    msub["entity_type"].to_numpy(),
+                    msub["start"].to_numpy(),
+                    msub["norm_surface"].to_numpy(),
+                ):
+                    by_turn.setdefault(int(ti), []).append(
                         # end/score/surface are placeholders: the rule
                         # kernel never reads them (see _MENTION_COLS)
-                        Mention(
-                            int(row.mention_idx), row.entity_type,
-                            int(row.start), 0, 0.0,
-                            "", row.norm_surface,
-                        )
+                        Mention(int(mi), et, int(st), 0, 0.0, "", ns)
                     )
             out = emit_triples_for_conv(conv_id, turns, by_turn, window)
             rows.extend((conv_id, t, s, p, o) for (t, s, p, o) in out)
