@@ -228,6 +228,25 @@ class TestVectorizedTwins:
         assert doc_minhash_batch(texts) == [doc_minhash(t) for t in texts]
         assert simhash64_batch(texts) == [simhash64(t) for t in texts]
 
+    @given(st.lists(st.text(max_size=80), min_size=1, max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def test_jaccard_batch_twin(self, texts):
+        """The cached verify kernel (operators/dedup._jaccard_batch, r8
+        shingle LRU) must equal the scalar doc_jaccard on every pair —
+        including repeated/empty texts that exercise the cache."""
+        import pandas as pd
+
+        from uk_ner_presidio_demo_spark.operators.dedup import (
+            _jaccard_batch,
+        )
+        from uk_ner_presidio_demo_spark.semantics.docsim import doc_jaccard
+
+        a = [texts[i % len(texts)] for i in range(2 * len(texts))]
+        b = [texts[(i * 7 + 3) % len(texts)] for i in range(2 * len(texts))]
+        got = list(_jaccard_batch(pd.Series(a), pd.Series(b)))
+        want = [doc_jaccard(x, y) for x, y in zip(a, b)]
+        assert got == want
+
 
 class TestChunkerInvariants:
     """Content-defined chunker (semantics/chunking.py): structural

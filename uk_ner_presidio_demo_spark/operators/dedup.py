@@ -76,9 +76,48 @@ def _band_rows(docs: DataFrame) -> DataFrame:
     )
 
 
+# Per-batch shingle-set LRU for the Jaccard verify (r8, the
+# _LCS_SAM_CACHE pattern): candidate pairs repeat the same documents
+# many times (one test doc vs many train docs, and the final join keys
+# leave same-doc rows adjacent), so the word-3-gram set builds once per
+# distinct text per neighborhood instead of twice per pair.  Bounded to
+# cap batch memory (a set is ~10x its text's size).
+_SHINGLE_CACHE_MAX = 64
+
+
+def _jaccard_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    from collections import OrderedDict
+
+    from ..semantics.docsim import doc_shingles
+
+    cache: "OrderedDict[str, frozenset]" = OrderedDict()
+
+    def sh(text: str) -> frozenset:
+        s = cache.get(text)
+        if s is None:
+            s = frozenset(doc_shingles(text))
+            cache[text] = s
+            if len(cache) > _SHINGLE_CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(text)
+        return s
+
+    out = []
+    for x, y in zip(a, b):
+        sa, sb = sh(x), sh(y)
+        # identical arithmetic to semantics.docsim.doc_jaccard
+        if not sa and not sb:
+            out.append(1.0)
+            continue
+        union = len(sa | sb)
+        out.append(len(sa & sb) / union if union else 0.0)
+    return pd.Series(out)
+
+
 @pandas_udf(T.DoubleType())
 def _doc_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([doc_jaccard(x, y) for x, y in zip(a, b)])
+    return _jaccard_batch(a, b)
 
 
 # The UDF is pure, but flagging it nondeterministic stops Catalyst from
